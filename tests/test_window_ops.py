@@ -1,0 +1,151 @@
+"""Native Window path vs the naive numpy oracle, over the reference's
+own parameter grid (test-roll.R / test-zoo.R structure): widths x
+min_obs x variants incl. zeros and NAs, na_restore both ways."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from roll_spark import (
+    roll_all,
+    roll_any,
+    roll_cor,
+    roll_cov,
+    roll_crossprod,
+    roll_idxmax,
+    roll_idxmin,
+    roll_max,
+    roll_mean,
+    roll_median,
+    roll_min,
+    roll_prod,
+    roll_quantile,
+    roll_scale,
+    roll_sd,
+    roll_sum,
+    roll_var,
+)
+from tests import oracle
+from tests.conftest import collect_all, collect_series
+
+WIDTHS = [1, 5, 10, 15]
+MIN_OBS = [1, 5]
+VARIANTS = ["det_zeros", "rand_zeros", "rand_zeros_nas"]
+
+SIMPLE_OPS = {
+    "sum": (roll_sum, oracle.roll_sum),
+    "mean": (roll_mean, oracle.roll_mean),
+    "prod": (roll_prod, oracle.roll_prod),
+    "min": (roll_min, oracle.roll_min),
+    "max": (roll_max, oracle.roll_max),
+    "var": (roll_var, oracle.roll_var),
+    "sd": (roll_sd, oracle.roll_sd),
+    "median": (roll_median, oracle.roll_median),
+    "scale": (roll_scale, oracle.roll_scale),
+    "idxmin": (roll_idxmin, oracle.roll_idxmin),
+    "idxmax": (roll_idxmax, oracle.roll_idxmax),
+}
+
+
+def assert_close(got: np.ndarray, want: np.ndarray, label: str):
+    same_na = np.isnan(got) == np.isnan(want)
+    assert same_na.all(), f"{label}: NA pattern mismatch\n got={got}\nwant={want}"
+    ok = np.isnan(want) | np.isclose(got, want, rtol=1e-9, atol=1e-12, equal_nan=True)
+    assert ok.all(), f"{label}: value mismatch\n got={got}\nwant={want}"
+
+
+@pytest.mark.parametrize("op", sorted(SIMPLE_OPS))
+@pytest.mark.parametrize("width", WIDTHS)
+def test_simple_ops_grid(spark, grid_df, grid_series, op, width):
+    fn, ofn = SIMPLE_OPS[op]
+    for min_obs in MIN_OBS:
+        if min_obs > width:
+            continue
+        for na_restore in (False, True):
+            sdf = fn(
+                grid_df, "x", "series_id", "i", width,
+                min_obs=min_obs, na_restore=na_restore, out="r",
+            )
+            allv = collect_all(sdf, "r")
+            for variant in VARIANTS:
+                got = allv[variant]
+                want = ofn(
+                    grid_series[variant], width, min_obs=min_obs, na_restore=na_restore
+                )
+                assert_close(
+                    got, want, f"{op} w={width} mo={min_obs} nr={na_restore} {variant}"
+                )
+
+
+@pytest.mark.parametrize("p", [0.0, 0.25, 0.5, 0.75, 1.0])
+@pytest.mark.parametrize("width", [5, 10, 15])
+def test_quantile_grid(spark, grid_df, grid_series, p, width):
+    for min_obs in MIN_OBS:
+        sdf = roll_quantile(
+            grid_df, "x", "series_id", "i", width, p, min_obs=min_obs, out="r"
+        )
+        allv = collect_all(sdf, "r")
+        for variant in VARIANTS:
+            got = allv[variant]
+            want = oracle.roll_quantile(grid_series[variant], width, p, min_obs=min_obs)
+            assert_close(got, want, f"quantile p={p} w={width} mo={min_obs} {variant}")
+
+
+@pytest.mark.parametrize("width", [2, 5, 10, 15])
+def test_pair_ops_grid(spark, grid_df, grid_pairs, width):
+    pair_ops = {
+        "cov": (roll_cov, oracle.roll_cov),
+        "cor": (roll_cor, oracle.roll_cor),
+        "crossprod": (roll_crossprod, oracle.roll_crossprod),
+    }
+    for name, (fn, ofn) in pair_ops.items():
+        for min_obs in MIN_OBS:
+            sdf = fn(grid_df, "x", "y", "series_id", "i", width, min_obs=min_obs, out="r")
+            allv = collect_all(sdf, "r")
+            for variant in VARIANTS:
+                x, y = grid_pairs[variant]
+                got = allv[variant]
+                want = ofn(x, y, width, min_obs=min_obs)
+                assert_close(got, want, f"{name} w={width} mo={min_obs} {variant}")
+
+
+@pytest.mark.parametrize("width", [1, 5, 10])
+def test_logical_ops_grid(spark, grid_df, grid_series, width):
+    # build a logical view: x > 0 with NAs preserved
+    from pyspark.sql import functions as F
+
+    ldf = grid_df.withColumn(
+        "b", F.when(F.col("x").isNotNull(), (F.col("x") > 0).cast("double"))
+    )
+    for min_obs in (1, width):
+        a_df = roll_any(ldf, "b", "series_id", "i", width, min_obs=min_obs, out="r")
+        l_df = roll_all(ldf, "b", "series_id", "i", width, min_obs=min_obs, out="r")
+        any_all = collect_all(a_df.withColumn("r", a_df.r.cast("double")), "r")
+        all_all = collect_all(l_df.withColumn("r", l_df.r.cast("double")), "r")
+        for variant in VARIANTS:
+            x = grid_series[variant]
+            b = np.where(np.isnan(x), np.nan, (x > 0).astype(np.float64))
+            got_any = any_all[variant]
+            got_all = all_all[variant]
+            assert_close(got_any, oracle.roll_any(b, width, min_obs=min_obs),
+                         f"any w={width} mo={min_obs} {variant}")
+            assert_close(got_all, oracle.roll_all(b, width, min_obs=min_obs),
+                         f"all w={width} mo={min_obs} {variant}")
+
+
+def test_expanding_is_width_n(spark, grid_df, grid_series):
+    """width = n with min_obs=1 gives the expanding series (README.md:57)."""
+    sdf = roll_mean(grid_df, "x", "series_id", "i", 15, min_obs=1, out="r")
+    allv = collect_all(sdf, "r")
+    for variant in VARIANTS:
+        x = grid_series[variant]
+        got = allv[variant]
+        want = oracle.roll_mean(x, 15, min_obs=1)
+        # explicit expanding recompute
+        exp = np.array(
+            [np.nanmean(x[: i + 1]) if np.any(~np.isnan(x[: i + 1])) else np.nan
+             for i in range(15)]
+        )
+        assert_close(got, want, f"expanding {variant}")
+        assert_close(got, exp, f"expanding-direct {variant}")
