@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship retention-tier rollup on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2),
+each runs the roll_spark engine over the driver parquet tables.
+``oracle_sql()`` — ANSI-SQL equivalents DuckDB runs on the same tables.
+
+Float columns are rounded to 6 decimals on BOTH sides so the driver's
+order-insensitive value-hash compares stable digits, not FP noise from
+differing summation orders (Spark WindowExec vs DuckDB segment trees).
 """
 
 from __future__ import annotations
@@ -12,27 +15,509 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roll_spark import (
+    roll_all,
+    roll_any,
+    roll_cor,
+    roll_cov,
+    roll_crossprod,
+    roll_idxmax,
+    roll_idxmin,
+    roll_max,
+    roll_mean,
+    roll_median,
+    roll_min,
+    roll_quantile,
+    roll_scale,
+    roll_sd,
+    roll_sum,
+    roll_var,
+)
+from roll_spark.operators.base import ordered_window
+from roll_spark.operators.lm import roll_lm
+from roll_spark.plans import tiers as T
+
+EV_KEY = ["user_id", "ts"]
+# DuckDB frame + gate snippets reused across oracles
+W = "PARTITION BY user_id ORDER BY ts ROWS BETWEEN {pre} PRECEDING AND CURRENT ROW"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _r6(c):
+    # +1e-7 nudge: 2-decimal source data makes means/vars land EXACTLY on
+    # 6th-digit rounding boundaries where Spark/DuckDB FP noise straddles;
+    # the identical nudge on both sides moves every such value off the edge.
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c + F.lit(1e-7), 6)
+
+
+def _sel(df: DataFrame, stat_col: str, alias: str) -> DataFrame:
+    return df.select("user_id", "ts", _r6(F.col(stat_col)).alias(alias))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_roll_mean_w10(spark, sf_dir):
+    df = roll_mean(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=5, out="s")
+    return _sel(df, "s", "mean10")
+
+
+def q_roll_sum_w20(spark, sf_dir):
+    df = roll_sum(_events(spark, sf_dir), "value", "user_id", "ts", 20, min_obs=20, out="s")
+    return _sel(df, "s", "sum20")
+
+
+def q_roll_min_w10(spark, sf_dir):
+    df = roll_min(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=1, out="s")
+    return df.select("user_id", "ts", F.col("s").alias("min10"))
+
+
+def q_roll_max_w10(spark, sf_dir):
+    df = roll_max(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=1, out="s")
+    return df.select("user_id", "ts", F.col("s").alias("max10"))
+
+
+def q_roll_var_w10(spark, sf_dir):
+    df = roll_var(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=5, out="s")
+    return _sel(df, "s", "var10")
+
+
+def q_roll_sd_w10(spark, sf_dir):
+    df = roll_sd(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=5, out="s")
+    return _sel(df, "s", "sd10")
+
+
+def q_roll_median_w5(spark, sf_dir):
+    df = roll_median(_events(spark, sf_dir), "value", "user_id", "ts", 5, min_obs=1, out="s")
+    return _sel(df, "s", "med5")
+
+
+def q_roll_quantile_p25_w10(spark, sf_dir):
+    df = roll_quantile(
+        _events(spark, sf_dir), "value", "user_id", "ts", 10, 0.25, min_obs=1, out="s"
+    )
+    return _sel(df, "s", "q25")
+
+
+def q_roll_idxmin_w10(spark, sf_dir):
+    df = roll_idxmin(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=1, out="s")
+    return df.select("user_id", "ts", F.col("s").alias("idxmin10"))
+
+
+def q_roll_idxmax_w10(spark, sf_dir):
+    df = roll_idxmax(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=1, out="s")
+    return df.select("user_id", "ts", F.col("s").alias("idxmax10"))
+
+
+def q_roll_scale_w10(spark, sf_dir):
+    df = roll_scale(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=5, out="s")
+    return _sel(df, "s", "scale10")
+
+
+def _with_lag(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.withColumn("value_lag", F.lag("value").over(ordered_window("user_id", "ts")))
+
+
+def q_roll_cov_w10(spark, sf_dir):
+    df = roll_cov(_with_lag(spark, sf_dir), "value", "value_lag", "user_id", "ts", 10,
+                  min_obs=5, out="s")
+    return _sel(df, "s", "cov10")
+
+
+def q_roll_cor_w10(spark, sf_dir):
+    df = roll_cor(_with_lag(spark, sf_dir), "value", "value_lag", "user_id", "ts", 10,
+                  min_obs=5, out="s")
+    return _sel(df, "s", "cor10")
+
+
+def q_roll_crossprod_w10(spark, sf_dir):
+    df = roll_crossprod(_with_lag(spark, sf_dir), "value", "value_lag", "user_id", "ts",
+                        10, min_obs=5, out="s")
+    return _sel(df, "s", "xprod10")
+
+
+def q_roll_prod_w4(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("vnorm", F.col("value") / 100.0)
+    # identical log-sum formulation on both sides keeps FP magnitudes tame
+    from roll_spark.operators.window_ops import roll_prod
+
+    df = roll_prod(ev, "vnorm", "user_id", "ts", 4, min_obs=4, out="s")
+    return _sel(df, "s", "prod4")
+
+
+def q_roll_any_w10(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("b", F.col("value") > 50)
+    df = roll_any(ev, "b", "user_id", "ts", 10, min_obs=1, out="s")
+    return df.select("user_id", "ts", F.col("s").cast("int").alias("any10"))
+
+
+def q_roll_all_w10(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("b", F.col("value") > 50)
+    df = roll_all(ev, "b", "user_id", "ts", 10, min_obs=1, out="s")
+    return df.select("user_id", "ts", F.col("s").cast("int").alias("all10"))
+
+
+def q_expanding_mean(spark, sf_dir):
+    # width >= any series length = the reference's expanding case
+    df = roll_mean(_events(spark, sf_dir), "value", "user_id", "ts", 100000, min_obs=1, out="s")
+    return _sel(df, "s", "emean")
+
+
+def q_roll_lm_w20(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "rn", F.row_number().over(ordered_window("user_id", "ts")).cast("double")
+    )
+    df = roll_lm(ev, "rn", "value", "user_id", "ts", 20, min_obs=20)
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("lm_coef_x")).alias("beta"),
+        _r6(F.col("lm_intercept")).alias("alpha"),
+        _r6(F.col("lm_r2")).alias("r2"),
+        _r6(F.col("lm_se_x")).alias("se_beta"),
+        _r6(F.col("lm_se_intercept")).alias("se_alpha"),
+    )
+
+
+def q_latency_roll_mean_w10(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "lat",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(ordered_window("user_id", "ts"))))
+        .cast("double") / 1e6,
+    )
+    df = roll_mean(ev, "lat", "user_id", "ts", 10, min_obs=1, out="s")
+    # latency means are ~1e4 s: round at millisecond grain so the nudge
+    # (1e-4) dominates cross-engine FP noise at this magnitude
+    return df.select("user_id", "ts", F.round(F.col("s") + 1e-4, 3).alias("lat_mean10"))
+
+
+def q_tier_1m_stats(spark, sf_dir):
+    stats = T.finalize(T.rollup_raw(_events(spark, sf_dir), "value", "ts", "user_id", "1m"))
+    return stats.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
+def q_tier_1h_cascade(spark, sf_dir):
+    """1h tier computed BY MERGING 1m sufficient stats (Chan combination);
+    the oracle recomputes 1h directly from raw — exact equality is the
+    continuous-aggregate correctness property."""
+    c = T.cascade(_events(spark, sf_dir), "value", "ts", "user_id", tiers=("1m", "1h"))
+    stats = T.finalize(c["1h"])
+    return stats.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
+def q_tier_1d_cascade(spark, sf_dir):
+    c = T.cascade(_events(spark, sf_dir), "value", "ts", "user_id", tiers=("1m", "1h", "1d"))
+    stats = T.finalize(c["1d"])
+    return stats.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    stats = T.finalize(T.rollup_raw(_events(spark, sf_dir), "value", "ts", "user_id", "1h"))
+    filled = T.gapfill(stats, "user_id", "1h", value="mean_x", method="locf")
+    return filled.select(
+        "user_id", F.col("bucket_ts"),
+        _r6("mean_x_filled").alias("locf_mean"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "roll_mean_w10": q_roll_mean_w10,
+        "roll_sum_w20": q_roll_sum_w20,
+        "roll_min_w10": q_roll_min_w10,
+        "roll_max_w10": q_roll_max_w10,
+        "roll_var_w10": q_roll_var_w10,
+        "roll_sd_w10": q_roll_sd_w10,
+        "roll_median_w5": q_roll_median_w5,
+        "roll_quantile_p25_w10": q_roll_quantile_p25_w10,
+        "roll_idxmin_w10": q_roll_idxmin_w10,
+        "roll_idxmax_w10": q_roll_idxmax_w10,
+        "roll_scale_w10": q_roll_scale_w10,
+        "roll_cov_w10": q_roll_cov_w10,
+        "roll_cor_w10": q_roll_cor_w10,
+        "roll_crossprod_w10": q_roll_crossprod_w10,
+        "roll_prod_w4": q_roll_prod_w4,
+        "roll_any_w10": q_roll_any_w10,
+        "roll_all_w10": q_roll_all_w10,
+        "expanding_mean": q_expanding_mean,
+        "roll_lm_w20": q_roll_lm_w20,
+        "latency_roll_mean_w10": q_latency_roll_mean_w10,
+        "tier_1m_stats": q_tier_1m_stats,
+        "tier_1h_cascade": q_tier_1h_cascade,
+        "tier_1d_cascade": q_tier_1d_cascade,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB ANSI SQL on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_W10 = W.format(pre=9)
+_W20 = W.format(pre=19)
+_W5 = W.format(pre=4)
+_W4 = W.format(pre=3)
+
+# HF type-2 quantile over a window list: c = max(1, ceil(n*(1-p)));
+# average sorted[n-c] with sorted[n-c-1] when n*(1-p) hits an integer.
+_HF2 = """
+WITH win AS (
+  SELECT user_id, ts,
+         list(value) OVER ({w}) AS l
+  FROM events
+), s AS (
+  SELECT user_id, ts, list_sort(l) AS sl, len(l) AS n,
+         GREATEST(1, CAST(ceil(n * {q} - 1e-9) AS BIGINT)) AS c
+  FROM win
+)
+SELECT user_id, ts,
+  ROUND(1e-7 + CASE
+    WHEN abs(c::DOUBLE / n - {q}) <= 1.4901161193847656e-08 AND n - c >= 1
+      THEN (sl[n - c + 1] + sl[n - c]) / 2.0
+    ELSE sl[n - c + 1]
+  END, 6) AS {alias}
+FROM s
+"""
+
+_TIER_STATS = """
+SELECT user_id, CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_ts,
+       count(*) AS n,
+       ROUND(1e-7 + sum(value), 6) AS sum_x,
+       ROUND(1e-7 + avg(value), 6) AS mean_x,
+       min(value) AS min_x,
+       max(value) AS max_x,
+       ROUND(1e-7 + coalesce(CASE WHEN count(*) > 1 THEN stddev_samp(value) END, 0.0), 6) AS sd_x
+FROM events GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roll_mean_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                    THEN avg(value) OVER ({_W10}) END, 6) AS mean10
+            FROM events""",
+        "roll_sum_w20": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W20}) >= 20
+                    THEN sum(value) OVER ({_W20}) END, 6) AS sum20
+            FROM events""",
+        "roll_min_w10": f"""
+            SELECT user_id, ts, min(value) OVER ({_W10}) AS min10 FROM events""",
+        "roll_max_w10": f"""
+            SELECT user_id, ts, max(value) OVER ({_W10}) AS max10 FROM events""",
+        "roll_var_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                    THEN var_samp(value) OVER ({_W10}) END, 6) AS var10
+            FROM events""",
+        "roll_sd_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                    THEN stddev_samp(value) OVER ({_W10}) END, 6) AS sd10
+            FROM events""",
+        "roll_median_w5": _HF2.format(w=_W5, q=0.5, alias="med5"),
+        "roll_quantile_p25_w10": _HF2.format(w=_W10, q=0.75, alias="q25"),
+        "roll_idxmin_w10": """
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events
+            ), m AS (
+              SELECT user_id, ts, rn,
+                     -(min(struct_pack(v := value, nj := -rn)) OVER
+                       (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)).nj AS rm
+              FROM t
+            )
+            SELECT user_id, ts,
+              CAST(CASE WHEN rn <= 10 THEN rm ELSE 10 - rn + rm END AS INT) AS idxmin10
+            FROM m""",
+        "roll_idxmax_w10": """
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events
+            ), m AS (
+              SELECT user_id, ts, rn,
+                     (max(struct_pack(v := value, j := rn)) OVER
+                       (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)).j AS rm
+              FROM t
+            )
+            SELECT user_id, ts,
+              CAST(CASE WHEN rn <= 10 THEN rm ELSE 10 - rn + rm END AS INT) AS idxmax10
+            FROM m""",
+        "roll_scale_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                          AND count(value) OVER ({_W10}) > 1
+                          AND var_samp(value) OVER ({_W10}) > 2.220446049250313e-16
+                    THEN (value - avg(value) OVER ({_W10}))
+                         / stddev_samp(value) OVER ({_W10}) END, 6) AS scale10
+            FROM events""",
+        "roll_cov_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lag
+              FROM events
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value_lag) OVER ({_W10}) >= 5
+                    THEN covar_samp(value, value_lag) OVER ({_W10}) END, 6) AS cov10
+            FROM t""",
+        "roll_cor_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lag
+              FROM events
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value_lag) OVER ({_W10}) >= 5
+                         AND var_samp(CASE WHEN value_lag IS NOT NULL THEN value END)
+                             OVER ({_W10}) > 2.220446049250313e-16
+                         AND var_samp(value_lag) OVER ({_W10}) > 2.220446049250313e-16
+                    THEN corr(value, value_lag) OVER ({_W10}) END, 6) AS cor10
+            FROM t""",
+        "roll_crossprod_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lag
+              FROM events
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value_lag) OVER ({_W10}) >= 5
+                    THEN sum(value * value_lag) OVER ({_W10}) END, 6) AS xprod10
+            FROM t""",
+        "roll_prod_w4": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W4}) >= 4
+                    THEN exp(sum(ln(value / 100.0)) OVER ({_W4})) END, 6) AS prod4
+            FROM events""",
+        "roll_any_w10": f"""
+            SELECT user_id, ts,
+              CAST(max(CASE WHEN value > 50 THEN 1 ELSE 0 END) OVER ({_W10}) AS INT)
+                AS any10
+            FROM events""",
+        "roll_all_w10": f"""
+            SELECT user_id, ts,
+              CAST(min(CASE WHEN value > 50 THEN 1 ELSE 0 END) OVER ({_W10}) AS INT)
+                AS all10
+            FROM events""",
+        "expanding_mean": """
+            SELECT user_id, ts,
+              ROUND(1e-7 + avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS emean
+            FROM events""",
+        "roll_lm_w20": f"""
+            WITH t AS (
+              SELECT user_id, ts, value AS y,
+                     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS x
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                     count(*) OVER ({_W20}) AS n,
+                     sum(x) OVER ({_W20}) AS sx,
+                     sum(y) OVER ({_W20}) AS sy,
+                     sum(x*x) OVER ({_W20}) AS sxx,
+                     sum(x*y) OVER ({_W20}) AS sxy,
+                     sum(y*y) OVER ({_W20}) AS syy
+              FROM t
+            ), d AS (
+              SELECT user_id, ts, n,
+                     sxx - sx*sx/n AS Sxx, sxy - sx*sy/n AS Sxy, syy - sy*sy/n AS Syy,
+                     sx/n AS mx, sy/n AS my
+              FROM s
+            ), e AS (
+              SELECT user_id, ts, n, Sxx, Syy, mx, my,
+                     CASE WHEN n >= 20 AND Sxx != 0 THEN Sxy/Sxx END AS beta,
+                     Sxx/(n-1) AS A, Syy/(n-1) AS var_y
+              FROM d
+            ), f AS (
+              SELECT user_id, ts, n, beta, mx, my, A, var_y,
+                     CASE WHEN beta IS NOT NULL AND var_y > 2.220446049250313e-16
+                          THEN beta*A*beta/var_y END AS r2
+              FROM e
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + beta, 6) AS beta,
+              ROUND(1e-7 + CASE WHEN beta IS NOT NULL THEN my - mx*beta END, 6) AS alpha,
+              ROUND(1e-7 + r2, 6) AS r2,
+              ROUND(1e-7 + CASE WHEN r2 IS NOT NULL AND n > 2
+                    THEN sqrt((1-r2)*var_y/(n-2) / A) END, 6) AS se_beta,
+              ROUND(1e-7 + CASE WHEN r2 IS NOT NULL AND n > 2
+                    THEN sqrt((1-r2)*var_y/(n-2) * (1.0/n + mx*mx/A)) END, 6) AS se_alpha
+            FROM f""",
+        "latency_roll_mean_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts,
+                     CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                          AS DOUBLE) / 1e6 AS lat
+              FROM events
+            )
+            SELECT user_id, ts,
+              ROUND(1e-4 + CASE WHEN count(lat) OVER ({_W10}) >= 1
+                    THEN avg(lat) OVER ({_W10}) END, 3) AS lat_mean10
+            FROM t""",
+        "tier_1m_stats": _TIER_STATS.format(unit="minute"),
+        "tier_1h_cascade": _TIER_STATS.format(unit="hour"),
+        "tier_1d_cascade": _TIER_STATS.format(unit="day"),
+        "gapfill_locf_1h": """
+            WITH stats AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS mean_x
+              FROM events GROUP BY 1, 2
+            ), grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+              FROM (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+                    FROM stats GROUP BY 1)
+            ), j AS (
+              SELECT g.user_id, g.bucket_ts, s.mean_x
+              FROM grid g LEFT JOIN stats s
+                ON g.user_id = s.user_id AND g.bucket_ts = s.bucket_ts
+            )
+            SELECT user_id, bucket_ts,
+              ROUND(1e-7 + last_value(mean_x IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf_mean,
+              CAST(mean_x IS NULL AS INT) AS is_gap
+            FROM j""",
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: retention cascade raw->1m->1h over sf0.001 events with
+    gap-fill — one scan of raw, Chan merges above it."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    c = T.cascade(ev, "value", "ts", "user_id", tiers=("1m", "1h"))
+    hourly = T.finalize(c["1h"])
+    filled = T.gapfill(hourly, "user_id", "1h", value="mean_x", method="locf")
+    return filled.select(
+        "user_id", "bucket_ts", "mean_x", "mean_x_filled", "is_gap"
+    )

@@ -1,0 +1,219 @@
+"""Continuous-aggregate retention tiers: raw -> 1m -> 1h -> 1d.
+
+Design (SURVEY.md §7.6): every tier stores MERGEABLE sufficient
+statistics, not displayed stats:
+
+    (n, sum_w, sum_x, m2, min, max, first_ts, first_x, last_ts, last_x)
+
+so the next-coarser tier is computed FROM THE PREVIOUS TIER by Chan et
+al. parallel moment combination (Chan, Golub & LeVeque 1979 — the
+textbook pairwise update; generalized here to g groups in one
+aggregation):
+
+    N   = sum n_i
+    MU  = sum(n_i mu_i) / N
+    M2  = sum m2_i + sum n_i mu_i^2 - N MU^2
+
+which is algebraically exact, so tier outputs EQUAL direct
+recomputation from raw (the continuous-aggregate correctness the
+north_rule demands; verified in tests/test_tiers.py and by the
+tier_1h_cascade driver query vs a direct DuckDB oracle).
+
+Scale notes: each cascade step is a single groupBy on
+(series, bucket) — partial aggregation (map-side combine) applies
+because every field is an algebraic aggregate; data volume drops by
+the bucket fan-in at every step, so the 10^12-turn raw table is
+touched exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from roll_spark.operators.base import Cols, _as_list
+
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+# which tier feeds which in the cascade
+CASCADE = [("raw", "1m"), ("1m", "1h"), ("1h", "1d")]
+
+STAT_COLS = [
+    "n", "sum_w", "sum_x", "m2", "min_x", "max_x",
+    "first_ts", "first_x", "last_ts", "last_x",
+]
+
+
+def bucket_col(ts: Column, tier: str) -> Column:
+    return F.date_trunc(TIERS[tier], ts)
+
+
+def rollup_raw(
+    df: DataFrame,
+    value: str,
+    ts: str,
+    by: Cols,
+    tier: str,
+    *,
+    bucket_out: str = "bucket_ts",
+) -> DataFrame:
+    """Tier-0 aggregation: raw rows -> per-(series, bucket) sufficient stats.
+
+    m2 is the centered second moment sum((x-mu)^2); Spark's var_samp is
+    Welford-based (numerically stable central moments in the JVM), so
+    m2 = var_samp * (n-1), with the n==1 -> 0 edge handled explicitly.
+    """
+    v = F.col(value)
+    keys = [*_as_list(by), bucket_col(F.col(ts), tier).alias(bucket_out)]
+    n = F.count(v)
+    first_struct = F.min(F.when(v.isNotNull(), F.struct(F.col(ts).alias("t"), v.alias("v"))))
+    last_struct = F.max(F.when(v.isNotNull(), F.struct(F.col(ts).alias("t"), v.alias("v"))))
+    return df.groupBy(*keys).agg(
+        n.alias("n"),
+        n.cast("double").alias("sum_w"),
+        F.sum(v).alias("sum_x"),
+        F.coalesce(F.var_samp(v) * (n - 1), F.lit(0.0)).alias("m2"),
+        F.min(v).alias("min_x"),
+        F.max(v).alias("max_x"),
+        first_struct.getField("t").alias("first_ts"),
+        first_struct.getField("v").alias("first_x"),
+        last_struct.getField("t").alias("last_ts"),
+        last_struct.getField("v").alias("last_x"),
+    )
+
+
+def merge_tier(
+    stats: DataFrame,
+    by: Cols,
+    tier: str,
+    *,
+    bucket_in: str = "bucket_ts",
+    bucket_out: str = "bucket_ts",
+) -> DataFrame:
+    """Chan-merge finer-tier sufficient stats into a coarser tier.
+
+    Exact moment combination across g sub-buckets:
+    M2 = sum m2_i + sum(sum_x_i^2/n_i) - (sum sum_x_i)^2 / N.
+    """
+    keys = [*_as_list(by), bucket_col(F.col(bucket_in), tier).alias(bucket_out)]
+    n = F.sum("n")
+    sum_x = F.sum("sum_x")
+    # sum n_i mu_i^2 = sum sum_x_i^2 / n_i
+    sum_n_mu2 = F.sum(F.col("sum_x") * F.col("sum_x") / F.col("n"))
+    m2 = F.sum("m2") + sum_n_mu2 - sum_x * sum_x / n
+    first_struct = F.min(F.struct(F.col("first_ts").alias("t"), F.col("first_x").alias("v")))
+    last_struct = F.max(F.struct(F.col("last_ts").alias("t"), F.col("last_x").alias("v")))
+    return stats.groupBy(*keys).agg(
+        n.alias("n"),
+        F.sum("sum_w").alias("sum_w"),
+        sum_x.alias("sum_x"),
+        m2.alias("m2"),
+        F.min("min_x").alias("min_x"),
+        F.max("max_x").alias("max_x"),
+        first_struct.getField("t").alias("first_ts"),
+        first_struct.getField("v").alias("first_x"),
+        last_struct.getField("t").alias("last_ts"),
+        last_struct.getField("v").alias("last_x"),
+    )
+
+
+def finalize(stats: DataFrame) -> DataFrame:
+    """Attach display stats derived from the sufficient statistics."""
+    n = F.col("n")
+    mean = F.col("sum_x") / n
+    var = F.when(n > 1, F.col("m2") / (n - 1))
+    return (
+        stats.withColumn("mean_x", mean)
+        .withColumn("var_x", var)
+        .withColumn("sd_x", F.sqrt(F.when(var >= 0, var).otherwise(F.lit(0.0))))
+    )
+
+
+def cascade(
+    df: DataFrame,
+    value: str,
+    ts: str,
+    by: Cols,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+) -> dict[str, DataFrame]:
+    """Full retention cascade. Raw is scanned ONCE (for the finest tier);
+    every coarser tier merges the previous tier's sufficient stats."""
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for tier in tiers:
+        if prev is None:
+            cur = rollup_raw(df, value, ts, by, tier)
+        else:
+            cur = merge_tier(prev, by, tier)
+        out[tier] = cur
+        prev = cur
+    return out
+
+
+# ---------------------------------------------------------------------------
+# gap-fill
+# ---------------------------------------------------------------------------
+
+
+def gapfill(
+    stats: DataFrame,
+    by: Cols,
+    tier: str,
+    *,
+    bucket: str = "bucket_ts",
+    value: str = "mean_x",
+    method: str = "locf",
+) -> DataFrame:
+    """Fill empty buckets of a tier with an as-of interpolated value.
+
+    Generates each series' dense bucket grid between its first and last
+    observed bucket (sequence + explode: no shuffle beyond the original
+    grouping), left-joins observed stats, then:
+
+    - ``locf``   last observation carried forward
+                 (last(value, ignorenulls) over ordered window);
+    - ``linear`` linear interpolation between the bracketing observed
+                 points: prev + (next-prev) * (t-t_prev)/(t_next-t_prev).
+
+    Output: (by, bucket, value, <value>_filled, is_gap).
+    """
+    keys = _as_list(by)
+    step = F.expr(f"INTERVAL {TIER_SECONDS[tier]} SECONDS")
+    grid = (
+        stats.groupBy(*keys)
+        .agg(F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi"))
+        .select(*keys, F.explode(F.sequence("_lo", "_hi", step)).alias(bucket))
+    )
+    joined = grid.join(stats.select(*keys, bucket, value), [*keys, bucket], "left")
+
+    from pyspark.sql import Window
+
+    ow = Window.partitionBy(*keys).orderBy(bucket)
+    prev_v = F.last(value, ignorenulls=True).over(
+        ow.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if method == "locf":
+        filled = prev_v
+    elif method == "linear":
+        fw = ow.rowsBetween(0, Window.unboundedFollowing)
+        next_v = F.first(value, ignorenulls=True).over(fw)
+        t = F.unix_timestamp(bucket).cast("double")
+        prev_t = F.last(
+            F.when(F.col(value).isNotNull(), t), ignorenulls=True
+        ).over(ow.rowsBetween(Window.unboundedPreceding, 0))
+        next_t = F.first(
+            F.when(F.col(value).isNotNull(), t), ignorenulls=True
+        ).over(fw)
+        frac = F.when(next_t != prev_t, (t - prev_t) / (next_t - prev_t)).otherwise(
+            F.lit(0.0)
+        )
+        filled = F.when(F.col(value).isNotNull(), F.col(value)).otherwise(
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull(), prev_v + (next_v - prev_v) * frac
+            ).otherwise(prev_v)
+        )
+    else:
+        raise ValueError(f"unknown gapfill method: {method}")
+    return joined.withColumn(f"{value}_filled", filled).withColumn(
+        "is_gap", F.col(value).isNull()
+    )
