@@ -453,7 +453,7 @@ def oracle_sql() -> dict[str, str]:
             ), e AS (
               SELECT user_id, ts, n, Sxx, Syy, mx, my,
                      CASE WHEN n >= 20 AND Sxx != 0 THEN Sxy/Sxx END AS beta,
-                     Sxx/(n-1) AS A, Syy/(n-1) AS var_y
+                     Sxx AS A, Syy AS var_y
               FROM d
             ), f AS (
               SELECT user_id, ts, n, beta, mx, my, A, var_y,

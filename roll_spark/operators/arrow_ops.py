@@ -1,0 +1,260 @@
+"""Arrow (applyInPandas) execution of the roll_* surface — the scale
+path for weighted / exponential-decay inputs, exact quantiles at large
+widths, and k-regressor roll_lm.
+
+Physical shape: one hash exchange on the series key, then a grouped-map
+Pandas UDF per series running the vectorized numpy kernels of
+roll_spark.operators.kernels — exactly the reference's parallelization
+model (one task per independent series, sequential in time;
+src/roll.cpp:384) with Arrow batches instead of RcppParallel threads.
+Per-row Python never happens: each group crosses the JVM<->Python
+boundary once as a columnar batch.
+
+Skewed series (one conversation with 10^9 turns) do NOT fit this model;
+they go through roll_spark.operators.chunked which splits a series into
+overlap-padded chunks that this module's kernels evaluate independently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as TT
+
+from roll_spark.config import RollSpec
+from roll_spark.operators import kernels as K
+from roll_spark.operators.base import Cols, _as_list
+
+_ROW_ID = "__rs_row_id"
+
+
+def _apply_kernel(
+    df: DataFrame,
+    in_cols: list[str],
+    by: Cols,
+    order: Cols,
+    out_fields: list[tuple[str, str]],
+    kernel,
+) -> DataFrame:
+    """Run ``kernel(pdf) -> dict[out_col, np.ndarray]`` per series group.
+
+    To keep the Arrow payload minimal (column pruning through the UDF),
+    only (row_id, in_cols) cross the boundary; results are joined back
+    on the synthetic row id. row_id = monotonically_increasing_id is
+    partition-local arithmetic, no shuffle.
+    """
+    by_l, order_l = _as_list(by), _as_list(order)
+    with_id = df.withColumn(_ROW_ID, F.monotonically_increasing_id())
+    slim = with_id.select(_ROW_ID, *by_l, *order_l, *in_cols)
+
+    out_schema = TT.StructType(
+        [TT.StructField(_ROW_ID, TT.LongType())]
+        + [TT.StructField(n, TT._parse_datatype_string(t)) for n, t in out_fields]
+    )
+    order_cols = list(order_l)
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_cols, kind="stable")
+        res = kernel(pdf)
+        data = {_ROW_ID: pdf[_ROW_ID].to_numpy()}
+        data.update(res)
+        return pd.DataFrame(data)
+
+    res = slim.groupBy(*by_l).applyInPandas(fn, schema=out_schema)
+    return with_id.join(res, on=_ROW_ID, how="left").drop(_ROW_ID)
+
+
+def _series_kernel_1(value: str, spec: RollSpec, fn, out: str, **kw):
+    weights = None if spec.weights is None else np.asarray(spec.weights)
+
+    def kernel(pdf):
+        x = pdf[value].to_numpy(dtype=np.float64, na_value=np.nan)
+        arr = fn(
+            x,
+            spec.width,
+            weights=weights,
+            min_obs=spec.effective_min_obs,
+            na_restore=spec.na_restore,
+            **kw,
+        )
+        return {out: arr}
+
+    return kernel
+
+
+def _series_kernel_2(x_col: str, y_col: str, spec: RollSpec, fn, out: str, **kw):
+    weights = None if spec.weights is None else np.asarray(spec.weights)
+
+    def kernel(pdf):
+        x = pdf[x_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        y = pdf[y_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        arr = fn(
+            x, y,
+            spec.width,
+            weights=weights,
+            min_obs=spec.effective_min_obs,
+            na_restore=spec.na_restore,
+            **kw,
+        )
+        return {out: arr}
+
+    return kernel
+
+
+def _one(df, value, by, order, spec, fn, out, **kw):
+    return _apply_kernel(
+        df, [value], by, order, [(out, "double")],
+        _series_kernel_1(value, spec, fn, out, **kw),
+    )
+
+
+def _two(df, x, y, by, order, spec, fn, out, **kw):
+    return _apply_kernel(
+        df, [x, y], by, order, [(out, "double")],
+        _series_kernel_2(x, y, spec, fn, out, **kw),
+    )
+
+
+def roll_sum(df, value, by, order, spec: RollSpec, *, out="roll_sum"):
+    return _one(df, value, by, order, spec, K.conv_sum, out)
+
+
+def roll_mean(df, value, by, order, spec: RollSpec, *, out="roll_mean"):
+    return _one(df, value, by, order, spec, K.conv_mean, out)
+
+
+def roll_prod(df, value, by, order, spec: RollSpec, *, out="roll_prod"):
+    return _one(df, value, by, order, spec, K.conv_prod, out)
+
+
+def roll_var(df, value, by, order, spec: RollSpec, *, out="roll_var"):
+    return _one(df, value, by, order, spec, K.conv_var, out, center=spec.center)
+
+
+def roll_sd(df, value, by, order, spec: RollSpec, *, out="roll_sd"):
+    return _one(df, value, by, order, spec, K.conv_sd, out, center=spec.center)
+
+
+def roll_quantile(df, value, by, order, spec: RollSpec, *, out="roll_quantile"):
+    return _one(df, value, by, order, spec, K.conv_quantile, out, p=spec.p)
+
+
+def roll_scale(df, value, by, order, spec: RollSpec, *, out="roll_scale"):
+    # scale = (x_last - mean) / sd with the reference gates (most recent
+    # non-NA in the window; roll_vec.h:3132-3143), composed from the
+    # shared WindowSums convolutions
+    def scale_fn(x, width, weights=None, min_obs=None, na_restore=False):
+        x = np.asarray(x, dtype=np.float64)
+        min_obs = width if min_obs is None else min_obs
+        ok = ~np.isnan(x)
+        # most recent non-NA in the trailing window
+        idx = np.arange(len(x))
+        last_idx = np.where(ok, idx, -1)
+        last_idx = np.maximum.accumulate(last_idx)
+        # invalidate when the last non-NA fell out of the window
+        valid_last = last_idx >= idx - width + 1
+        x_last = np.where(valid_last & (last_idx >= 0), x[np.maximum(last_idx, 0)], np.nan)
+        s = K.WindowSums(x, width, weights)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s.sum_wx / s.sum_w
+            centered = x_last - mean if spec.center else x_last
+            if spec.scale:
+                v_raw = (s.sum_wx2() - s.sum_wx * s.sum_wx / s.sum_w) if spec.center else s.sum_wx2()
+                v = v_raw / (s.sum_w - s.sumsq_w() / s.sum_w)
+                res = np.where((s.n_obs > 1) & (v > K.EPS), centered / np.sqrt(v), np.nan)
+            else:
+                res = centered
+            out_arr = np.where(s.n_obs >= min_obs, res, np.nan)
+        return K._restore(out_arr, x, na_restore)
+
+    return _one(df, value, by, order, spec, scale_fn, out)
+
+
+def roll_cov(df, x, by, order, spec: RollSpec, *, y, out="roll_cov"):
+    return _two(df, x, y, by, order, spec, K.conv_cov, out, center=spec.center)
+
+
+def roll_cor(df, x, by, order, spec: RollSpec, *, y, out="roll_cor"):
+    return _two(df, x, y, by, order, spec, K.conv_cor, out)
+
+
+def roll_crossprod(df, x, by, order, spec: RollSpec, *, y, out="roll_crossprod"):
+    return _two(df, x, y, by, order, spec, K.conv_crossprod, out)
+
+
+def roll_lm(df, x, y, by, order, spec: RollSpec, *, intercept=True, out_prefix="lm_"):
+    """Weighted single-regressor lm via the k-kernel (k=1)."""
+    return roll_lm_k(df, [x], y, by, order, spec, intercept=intercept,
+                     out_prefix=out_prefix, flat=True)
+
+
+def roll_lm_k(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y: str,
+    by: Cols,
+    order: Cols,
+    spec: RollSpec,
+    *,
+    intercept: bool = True,
+    out_prefix: str = "lm_",
+    flat: bool = False,
+) -> DataFrame:
+    """k-regressor rolling OLS: rolling XtX/Xty + batched np.linalg.solve
+    (the reference's two-phase roll_lm, src/roll.cpp:2069-2117).
+
+    Output: ``{p}coef array<double>, {p}intercept, {p}r2, {p}se
+    array<double>, {p}se_intercept`` — or flat scalar columns matching
+    the native path when ``flat=True`` (k must be 1).
+    """
+    weights = None if spec.weights is None else np.asarray(spec.weights)
+    x_cols = list(x_cols)
+    p = out_prefix
+
+    fields = [
+        (p + "coef", "array<double>"),
+        (p + "r2", "double"),
+        (p + "se", "array<double>"),
+    ]
+    if intercept:
+        fields += [(p + "intercept", "double"), (p + "se_intercept", "double")]
+
+    def kernel(pdf):
+        X = np.column_stack(
+            [pdf[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in x_cols]
+        )
+        yv = pdf[y].to_numpy(dtype=np.float64, na_value=np.nan)
+        res = K.conv_lm_k(
+            X, yv, spec.width, weights=weights,
+            min_obs=spec.effective_min_obs, intercept=intercept,
+        )
+        def _nan_to_none_rows(mat):
+            return [
+                None if np.isnan(row).all() else [None if np.isnan(v) else float(v) for v in row]
+                for row in mat
+            ]
+        out = {
+            p + "coef": _nan_to_none_rows(res["coef"]),
+            p + "r2": res["r2"],
+            p + "se": _nan_to_none_rows(res["se"]),
+        }
+        if intercept:
+            out[p + "intercept"] = res["intercept"]
+            out[p + "se_intercept"] = res["se_intercept"]
+        return out
+
+    res = _apply_kernel(df, x_cols + [y], by, order, fields, kernel)
+    if flat:
+        if len(x_cols) != 1:
+            raise ValueError("flat=True requires exactly one regressor")
+        res = (
+            res.withColumn(p + "coef_x", F.col(p + "coef")[0])
+            .withColumn(p + "se_x", F.col(p + "se")[0])
+            .drop(p + "coef", p + "se")
+        )
+    return res

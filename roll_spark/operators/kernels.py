@@ -1,0 +1,409 @@
+"""Vectorized numpy kernels for the Arrow (applyInPandas) path.
+
+Two algorithm families, mirroring the reference's online/offline split
+(/root/reference/src/roll.cpp:378-394):
+
+- ``conv_*``  offline kernels vectorized as 1-D convolutions: the
+  rolling weighted sum with newest-last weight alignment
+  (roll_vec.h:556 reads arma_weights[n-count-1]) is exactly
+  ``np.convolve(x, reversed(weights))``. Arbitrary weights, C speed,
+  O(n*width) — the production path inside Arrow UDFs.
+- ``online_*`` sequential O(1)-per-row recursions (lambda-recursion /
+  West co-moment updates, roll_vec.h:447, :2190, :3677). Used (a) to
+  prove online == offline equivalence the way the reference's own test
+  suite does, and (b) to carry state across chunk boundaries for the
+  skew path.
+
+All kernels take float64 arrays with NaN as missing and return float64
+with NaN for NULL; gates (min_obs, na_restore, eps clamps) replicate
+the reference emit rules exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = float(np.finfo(np.float64).eps)
+SQRT_EPS = float(np.sqrt(EPS))
+
+
+def _prep(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    x = np.asarray(x, dtype=np.float64)
+    ok = ~np.isnan(x)
+    return np.where(ok, x, 0.0), ok.astype(np.float64)
+
+
+def _kernel(weights: np.ndarray | None, width: int) -> np.ndarray:
+    """Convolution kernel h[k] = weight of the row k lags back."""
+    if weights is None:
+        return np.ones(width)
+    w = np.asarray(weights, dtype=np.float64)[-width:]
+    return w[::-1].copy()  # h[0] = newest slot weight
+
+
+def _rollconv(v: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """out[i] = sum_k h[k] * v[i-k] — trailing weighted window sum."""
+    n = len(v)
+    if len(h) == 1:
+        return v * h[0]
+    return np.convolve(v, h)[:n]
+
+
+def _restore(out: np.ndarray, x: np.ndarray, na_restore: bool) -> np.ndarray:
+    if na_restore:
+        out = np.where(np.isnan(x), np.nan, out)
+    return out
+
+
+class WindowSums:
+    """All weighted rolling sums an operator needs, in one pass of
+    convolutions over (value, mask) — shared by every conv kernel."""
+
+    def __init__(self, x, width, weights=None):
+        self.x = np.asarray(x, dtype=np.float64)
+        self.width = width
+        xv, ok = _prep(self.x)
+        h = _kernel(weights, width)
+        self.n_obs = np.rint(_rollconv(ok, np.ones(width))).astype(np.int64)
+        self.sum_w = _rollconv(ok, h)
+        self.sum_wx = _rollconv(xv, h)
+        self._h = h
+        self._xv = xv
+        self._ok = ok
+
+    def sumsq_w(self):
+        return _rollconv(self._ok, self._h * self._h)
+
+    def sum_wx2(self):
+        return _rollconv(self._xv * self._xv, self._h)
+
+
+def conv_sum(x, width, weights=None, min_obs=None, na_restore=False):
+    min_obs = width if min_obs is None else min_obs
+    s = WindowSums(x, width, weights)
+    out = np.where(s.n_obs >= min_obs, s.sum_wx, np.nan)
+    return _restore(out, s.x, na_restore)
+
+
+def conv_mean(x, width, weights=None, min_obs=None, na_restore=False):
+    min_obs = width if min_obs is None else min_obs
+    s = WindowSums(x, width, weights)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(s.n_obs >= min_obs, s.sum_wx / s.sum_w, np.nan)
+    return _restore(out, s.x, na_restore)
+
+
+def conv_var(x, width, weights=None, min_obs=None, na_restore=False, center=True):
+    """Unbiased weighted variance via uncentered moments:
+    sumsq_centered = sum(w x^2) - (sum w x)^2 / sum w; denominator
+    sum_w - sumsq_w/sum_w; reference eps clamps (roll_vec.h:2404)."""
+    min_obs = width if min_obs is None else min_obs
+    s = WindowSums(x, width, weights)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if center:
+            ss = s.sum_wx2() - s.sum_wx * s.sum_wx / s.sum_w
+        else:
+            ss = s.sum_wx2()
+        v = ss / (s.sum_w - s.sumsq_w() / s.sum_w)
+        out = np.where((s.n_obs > 1) & (s.n_obs >= min_obs), v, np.nan)
+    out = np.where(out > EPS, out, np.where(out > -EPS, np.where(np.isnan(out), np.nan, 0.0), np.nan))
+    return _restore(out, s.x, na_restore)
+
+
+def conv_sd(x, width, weights=None, min_obs=None, na_restore=False, center=True):
+    return np.sqrt(conv_var(x, width, weights, min_obs, na_restore, center))
+
+
+def conv_cov(x, y, width, weights=None, min_obs=None, na_restore=False, center=True):
+    """Pairwise-complete weighted covariance (roll_vec.h:3969-4152)."""
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    both = ~np.isnan(x) & ~np.isnan(y)
+    xv = np.where(both, x, 0.0)
+    yv = np.where(both, y, 0.0)
+    okf = both.astype(np.float64)
+    h = _kernel(weights, width)
+    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+    sum_w = _rollconv(okf, h)
+    sumsq_w = _rollconv(okf, h * h)
+    sx = _rollconv(xv, h)
+    sy = _rollconv(yv, h)
+    sxy = _rollconv(xv * yv, h)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if center:
+            ss = sxy - sx * sy / sum_w
+        else:
+            ss = sxy
+        out = np.where((n_obs > 1) & (n_obs >= min_obs), ss / (sum_w - sumsq_w / sum_w), np.nan)
+    if na_restore:
+        out = np.where(np.isnan(x) | np.isnan(y), np.nan, out)
+    return out
+
+
+def conv_cor(x, y, width, weights=None, min_obs=None, na_restore=False):
+    """Scaled covariance with raw-sumsq eps gates (roll_vec.h:4112-4125)."""
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    both = ~np.isnan(x) & ~np.isnan(y)
+    xv = np.where(both, x, 0.0)
+    yv = np.where(both, y, 0.0)
+    okf = both.astype(np.float64)
+    h = _kernel(weights, width)
+    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+    sum_w = _rollconv(okf, h)
+    sx, sy = _rollconv(xv, h), _rollconv(yv, h)
+    sxx = _rollconv(xv * xv, h)
+    syy = _rollconv(yv * yv, h)
+    sxy = _rollconv(xv * yv, h)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ssx = sxx - sx * sx / sum_w
+        ssy = syy - sy * sy / sum_w
+        ssxy = sxy - sx * sy / sum_w
+        out = np.where(
+            (n_obs > 1) & (n_obs >= min_obs) & (ssx > EPS) & (ssy > EPS),
+            ssxy / (np.sqrt(ssx) * np.sqrt(ssy)),
+            np.nan,
+        )
+    if na_restore:
+        out = np.where(np.isnan(x) | np.isnan(y), np.nan, out)
+    return out
+
+
+def conv_crossprod(x, y, width, weights=None, min_obs=None, na_restore=False):
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    both = ~np.isnan(x) & ~np.isnan(y)
+    okf = both.astype(np.float64)
+    h = _kernel(weights, width)
+    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+    sxy = _rollconv(np.where(both, x * y, 0.0), h)
+    out = np.where(n_obs >= min_obs, sxy, np.nan)
+    if na_restore:
+        out = np.where(np.isnan(x) | np.isnan(y), np.nan, out)
+    return out
+
+
+def conv_prod(x, width, weights=None, min_obs=None, na_restore=False):
+    """prod(w)*prod(x) with zero tracking, via log-space convolution."""
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    ok = ~np.isnan(x)
+    okf = ok.astype(np.float64)
+    h = _kernel(weights, width)
+    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+    nz = np.rint(_rollconv((ok & (x == 0)).astype(np.float64), np.ones(width))).astype(np.int64)
+    nneg = np.rint(_rollconv((ok & (x < 0)).astype(np.float64), np.ones(width))).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logs = np.where(ok & (x != 0), np.log(np.abs(np.where(ok & (x != 0), x, 1.0))), 0.0)
+    # log of weights contributes per observed slot: convolve mask with log(h)
+    with np.errstate(divide="ignore"):
+        log_h = np.log(h)
+    sum_logx = _rollconv(logs, np.ones(width))
+    sum_logw = _rollconv(okf, log_h)
+    sign = np.where(nneg % 2 == 1, -1.0, 1.0)
+    prod = np.where(nz > 0, 0.0, sign * np.exp(sum_logx + sum_logw))
+    out = np.where(n_obs >= min_obs, prod, np.nan)
+    return _restore(out, x, na_restore)
+
+
+def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
+    """Exact weighted HF2-style quantile (roll_vec.h:1956-2095), vectorized
+    with a strided sliding window + per-row top-down weight scan.
+
+    Equal-weight fast path uses sorted windows and the closed-form order
+    statistic; weighted path materializes (width)-wide windows and runs
+    the scan across rows simultaneously via cumulative sums.
+    """
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    pp = 1.0 - p
+    wts_full = _kernel(weights, width)[::-1]  # oldest-first slot weights
+    # pad front so every row has a width-window; pads are NaN (excluded)
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, x])
+    wins = np.lib.stride_tricks.sliding_window_view(xp, width)  # (n, width)
+    # per-slot weights: slot j (0=oldest) weight wts_full[j]
+    wmat = np.broadcast_to(wts_full, wins.shape)
+    okm = ~np.isnan(wins)
+    n_obs = okm.sum(axis=1)
+    order = np.argsort(np.where(okm, wins, np.inf), axis=1, kind="stable")
+    sv = np.take_along_axis(wins, order, axis=1)
+    sw = np.take_along_axis(np.where(okm, wmat, 0.0), order, axis=1)
+    total = sw.sum(axis=1)
+    # cumulative weight from the top (descending values)
+    cum_top = np.cumsum(sw[:, ::-1], axis=1)[:, ::-1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mass = cum_top / total[:, None]
+    # smallest index k (in ascending order) with mass[k] >= pp
+    # mass is non-increasing along ascending k; we need the LAST k where
+    # cumulative-from-top >= pp  ==> argmax over reversed condition
+    # only observed slots participate in the scan (NaNs sort to the top
+    # with zero weight and must never be selected)
+    cond = (mass >= pp) & ~np.isnan(sv)
+    # index of last True along axis 1
+    last_true = width - 1 - np.argmax(cond[:, ::-1], axis=1)
+    has_true = cond.any(axis=1)
+    k = np.where(has_true, last_true, 0)
+    rows = np.arange(n)
+    val_hi = sv[rows, k]
+    mass_k = mass[rows, k]
+    exact = np.abs(mass_k - pp) <= SQRT_EPS
+    k_lo = np.maximum(k - 1, 0)
+    val_lo = sv[rows, k_lo]
+    lo_valid = (k - 1 >= 0) & ~np.isnan(val_lo)
+    q = np.where(exact & lo_valid, (val_hi + val_lo) / 2.0, val_hi)
+    out = np.where((n_obs >= max(min_obs, 1)), q, np.nan)
+    return _restore(out, x, na_restore)
+
+
+def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):
+    """Rolling k-regressor OLS: rolling XtX/Xty via convolutions + one
+    batched np.linalg.solve — the reference's two-phase shape
+    (src/roll.cpp:2069-2117) with phase 2 vectorized across rows.
+
+    X: (n, k) float64; y: (n,). Rows with any NA across (X, y) are
+    excluded everywhere (complete_obs forced TRUE). Returns dict:
+    coef (n, k), intercept (n,), r2 (n,), se (n, k), se_intercept (n,).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    y = np.asarray(y, dtype=np.float64)
+    n, k = X.shape
+    min_obs = width if min_obs is None else min_obs
+    df_fit = k + 1 if intercept else k
+    ok = ~np.isnan(X).any(axis=1) & ~np.isnan(y)
+    okf = ok.astype(np.float64)
+    Xv = np.where(ok[:, None], X, 0.0)
+    yv = np.where(ok, y, 0.0)
+    h = _kernel(weights, width)
+    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+    sum_w = _rollconv(okf, h)
+    # rolling weighted sums of x_j, y, x_j x_l, x_j y, y^2
+    sx = np.stack([_rollconv(Xv[:, j], h) for j in range(k)], axis=1)  # (n,k)
+    sy = _rollconv(yv, h)
+    sxx = np.zeros((n, k, k))
+    for j in range(k):
+        for l in range(j, k):
+            c = _rollconv(Xv[:, j] * Xv[:, l], h)
+            sxx[:, j, l] = c
+            sxx[:, l, j] = c
+    sxy = np.stack([_rollconv(Xv[:, j] * yv, h) for j in range(k)], axis=1)
+    syy = _rollconv(yv * yv, h)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # RAW centered crossprod moments (src/roll.cpp:2069-2087): the lm
+        # normal equations use sum(w (x-mx)(x-mx)) undivided — that's what
+        # makes se equal stats::lm's
+        if intercept:
+            mx = sx / sum_w[:, None]
+            my = sy / sum_w
+            A = sxx - sx[:, :, None] * sx[:, None, :] / sum_w[:, None, None]
+            b = sxy - sx * sy[:, None] / sum_w[:, None]
+            var_y = syy - sy * sy / sum_w
+        else:
+            A = sxx
+            b = sxy
+            var_y = syy
+
+    res = {
+        "coef": np.full((n, k), np.nan),
+        "intercept": np.full(n, np.nan),
+        "r2": np.full(n, np.nan),
+        "se": np.full((n, k), np.nan),
+        "se_intercept": np.full(n, np.nan),
+    }
+    valid = (n_obs >= max(min_obs, df_fit)) & (n_obs > 1) & np.isfinite(A).all(axis=(1, 2)) & np.isfinite(b).all(axis=1)
+    if not valid.any():
+        return res
+    Av, bv = A[valid], b[valid]
+    # singular rows -> NA (arma::solve no_approx behaviour)
+    dets = np.linalg.det(Av)
+    solvable = np.abs(dets) > 0
+    coef = np.full_like(bv, np.nan)
+    Ainv = np.full_like(Av, np.nan)
+    if solvable.any():
+        coef[solvable] = np.linalg.solve(Av[solvable], bv[solvable])
+        Ainv[solvable] = np.linalg.inv(Av[solvable])
+    idx = np.where(valid)[0]
+    res["coef"][idx] = coef
+    vy = var_y[idx]
+    bAb = np.einsum("ij,ijk,ik->i", coef, Av, coef)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r2 = np.where(vy > EPS, bAb / vy, np.nan)
+    res["r2"][idx] = r2
+    df_resid = n_obs[idx] - df_fit
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var_resid = np.where(df_resid > 0, (1 - r2) * vy / df_resid, np.nan)
+        diagAinv = np.einsum("ijj->ij", Ainv)
+        res["se"][idx] = np.sqrt(var_resid[:, None] * diagAinv)
+        if intercept:
+            mxv = mx[idx]
+            res["intercept"][idx] = my[idx] - np.einsum("ij,ij->i", mxv, coef)
+            quad = np.einsum("ij,ijk,ik->i", mxv, Ainv, mxv)
+            res["se_intercept"][idx] = np.sqrt(var_resid * (1 / sum_w[idx] + quad))
+    # rows that were valid but singular keep NaN coef; blank their r2 too
+    bad = idx[~solvable]
+    for key in res:
+        if res[key].ndim == 1:
+            res[key][bad] = np.nan
+        else:
+            res[key][bad] = np.nan
+    return res
+
+
+# ---------------------------------------------------------------------------
+# online recursions (sequential, O(1)/row) — the reference's online family
+# ---------------------------------------------------------------------------
+
+
+def online_mean(x, width, weights=None, min_obs=None, na_restore=False,
+                state: dict | None = None):
+    """Lambda-recursion weighted mean (roll_vec.h:814-927).
+
+    ``state`` carries (sum_w, sum_x, n_obs, tail values) across chunk
+    boundaries for the skew path; pass the dict returned by a previous
+    call on the preceding chunk of the same series.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    min_obs = width if min_obs is None else min_obs
+    w = np.ones(width) if weights is None else np.asarray(weights, dtype=np.float64)[-width:]
+    lam = 1.0 if width == 1 or len(w) < 2 else w[-2] / w[-1]
+    n = len(x)
+    out = np.full(n, np.nan)
+    if state is None:
+        sum_w = sum_x = 0.0
+        n_obs = 0
+        hist = []  # trailing width-1 values for eviction
+    else:
+        sum_w, sum_x, n_obs = state["sum_w"], state["sum_x"], state["n_obs"]
+        hist = list(state["hist"])
+    for i in range(n):
+        xi = x[i]
+        is_na = np.isnan(xi)
+        if not is_na:
+            n_obs += 1
+            sum_w = lam * sum_w + w[-1]
+            sum_x = lam * sum_x + w[-1] * xi
+        else:
+            sum_w = lam * sum_w
+            sum_x = lam * sum_x
+        hist.append(xi)
+        if len(hist) > width:
+            old = hist.pop(0)
+            if not np.isnan(old):
+                n_obs -= 1
+                # weight of the evicted slot after this step's decay: w[-width]*lam
+                sum_w -= lam * w[0]
+                sum_x -= lam * w[0] * old
+        if (not na_restore or not is_na) and n_obs >= min_obs and sum_w != 0:
+            out[i] = sum_x / sum_w
+    final_state = {"sum_w": sum_w, "sum_x": sum_x, "n_obs": n_obs, "hist": hist[-(width):]}
+    return out, final_state

@@ -88,9 +88,12 @@ def roll_lm(
         Sxx, Sxy, Syy = sxx, sxy, syy
 
     gate = (n >= F.lit(max(spec.effective_min_obs, df_fit))) & (n > 1) & (Sxx != 0)
-    denom = n - 1  # unbiased divisor under equal weights
-    A = Sxx / denom
-    var_y = Syy / denom
+    # RAW centered moments: roll_lm's phase-1 matrix is the (centered)
+    # crossprod, NOT the unbiased covariance (src/roll.cpp:2069-2087) —
+    # with var_resid = (1-R2) Syy / df_resid this reproduces stats::lm's
+    # standard errors exactly
+    A = Sxx
+    var_y = Syy
     beta = F.when(gate, Sxy / Sxx)
     r2 = F.when(gate & (var_y > F.lit(EPS)), beta * A * beta / var_y)
     df_resid = n - F.lit(df_fit)

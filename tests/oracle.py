@@ -369,16 +369,18 @@ def roll_lm(x, y, width, weights=None, min_obs=None, intercept=True):
             continue
         vx, vy, wts = wx[ok], wy[ok], w[ok]
         sum_w = wts.sum()
-        sumsq_w = (wts * wts).sum()
-        d = sum_w - sumsq_w / sum_w
         if intercept:
             mx = (wts * vx).sum() / sum_w
             my = (wts * vy).sum() / sum_w
         else:
             mx = my = 0.0
-        A = (wts * (vx - mx) ** 2).sum() / d
-        b = (wts * (vx - mx) * (vy - my)).sum() / d
-        var_y = (wts * (vy - my) ** 2).sum() / d
+        # RAW centered weighted crossprod moments: roll_lm's phase 1 uses
+        # the crossprod kernels (center=intercept, NOT the unbiased-divided
+        # cov), src/roll.cpp:2069-2087 — this is what makes se match
+        # stats::lm in the reference's own oracle (helper-zoo.R:188)
+        A = (wts * (vx - mx) ** 2).sum()
+        b = (wts * (vx - mx) * (vy - my)).sum()
+        var_y = (wts * (vy - my) ** 2).sum()
         if A == 0.0 or not np.isfinite(A):
             continue
         beta = b / A

@@ -1,0 +1,134 @@
+"""End-to-end Arrow path through the public API: passing non-equal
+weights to any roll_* op must route to the applyInPandas kernels and
+match the naive oracle — the reference's weighted/exp-decay axis."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from roll_spark import (
+    roll_cor,
+    roll_cov,
+    roll_crossprod,
+    roll_mean,
+    roll_prod,
+    roll_quantile,
+    roll_scale,
+    roll_sd,
+    roll_sum,
+    roll_var,
+)
+from roll_spark.config import RollSpec
+from roll_spark.operators.arrow_ops import roll_lm_k
+from tests import oracle
+from tests.conftest import collect_all
+from tests.test_window_ops import VARIANTS, assert_close
+
+WIDTH = 5
+
+
+def _exp_weights(width):
+    # the reference's own weighted fixture: 0.9^(2w:1), length 2*width
+    return list(0.9 ** np.arange(2 * width, 0, -1.0))
+
+
+WEIGHTED_OPS = {
+    "sum": (roll_sum, oracle.roll_sum),
+    "mean": (roll_mean, oracle.roll_mean),
+    "prod": (roll_prod, oracle.roll_prod),
+    "var": (roll_var, oracle.roll_var),
+    "sd": (roll_sd, oracle.roll_sd),
+    "scale": (roll_scale, oracle.roll_scale),
+}
+
+
+@pytest.mark.parametrize("op", sorted(WEIGHTED_OPS))
+def test_weighted_ops_route_to_arrow(spark, grid_df, grid_series, op):
+    fn, ofn = WEIGHTED_OPS[op]
+    wts = _exp_weights(WIDTH)
+    for min_obs in (1, 5):
+        sdf = fn(grid_df, "x", "series_id", "i", WIDTH,
+                 weights=wts, min_obs=min_obs, out="r")
+        allv = collect_all(sdf, "r")
+        for variant in VARIANTS:
+            want = ofn(grid_series[variant], WIDTH, weights=wts, min_obs=min_obs)
+            assert_close(allv[variant], want,
+                         f"arrow {op} mo={min_obs} {variant}", )
+
+
+def test_weighted_quantile_arrow(spark, grid_df, grid_series):
+    wts = _exp_weights(WIDTH)
+    for p in (0.25, 0.5, 0.75):
+        sdf = roll_quantile(grid_df, "x", "series_id", "i", WIDTH, p,
+                            weights=wts, min_obs=1, out="r")
+        allv = collect_all(sdf, "r")
+        for variant in VARIANTS:
+            want = oracle.roll_quantile(grid_series[variant], WIDTH, p,
+                                        weights=wts, min_obs=1)
+            assert_close(allv[variant], want, f"arrow quantile p={p} {variant}")
+
+
+def test_weighted_pair_ops_arrow(spark, grid_df, grid_pairs):
+    wts = _exp_weights(WIDTH)
+    pair_ops = {
+        "cov": (roll_cov, oracle.roll_cov),
+        "cor": (roll_cor, oracle.roll_cor),
+        "crossprod": (roll_crossprod, oracle.roll_crossprod),
+    }
+    for name, (fn, ofn) in pair_ops.items():
+        sdf = fn(grid_df, "x", "y", "series_id", "i", WIDTH,
+                 weights=wts, min_obs=1, out="r")
+        allv = collect_all(sdf, "r")
+        for variant in VARIANTS:
+            x, y = grid_pairs[variant]
+            want = ofn(x, y, WIDTH, weights=wts, min_obs=1)
+            assert_close(allv[variant], want, f"arrow {name} {variant}")
+
+
+def test_lm_k2_arrow(spark, grid_df, grid_pairs):
+    """Two-regressor lm through applyInPandas: y ~ x + x^2."""
+    from pyspark.sql import functions as F
+
+    df2 = grid_df.withColumn("x2", F.col("x") * F.col("x"))
+    spec = RollSpec(width=8, min_obs=1)
+    sdf = roll_lm_k(df2, ["x", "x2"], "y", "series_id", "i", spec)
+    rows = sdf.select("series_id", "i", "lm_coef", "lm_r2").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r[0], {})[r[1]] = (r[2], r[3])
+    from roll_spark.operators import kernels as K
+
+    for variant in VARIANTS:
+        x, y = grid_pairs[variant]
+        X = np.column_stack([x, x * x])
+        want = K.conv_lm_k(X, y, 8, min_obs=1, intercept=True)
+        for i in range(len(x)):
+            coef, r2 = got[variant][i]
+            if coef is None:
+                assert np.isnan(want["coef"][i]).all(), (variant, i)
+            else:
+                assert np.allclose(coef, want["coef"][i], rtol=1e-9), (variant, i)
+            if r2 is None:
+                assert np.isnan(want["r2"][i]), (variant, i)
+            else:
+                assert np.isclose(r2, want["r2"][i], rtol=1e-9), (variant, i)
+
+
+def test_weighted_lm_flat_matches_oracle(spark, grid_df, grid_pairs):
+    from roll_spark.operators.lm import roll_lm
+
+    wts = _exp_weights(WIDTH)
+    sdf = roll_lm(grid_df, "x", "y", "series_id", "i", WIDTH,
+                  weights=wts, min_obs=1)
+    cols = {c: collect_all(sdf, c) for c in
+            ("lm_coef_x", "lm_intercept", "lm_r2", "lm_se_x", "lm_se_intercept")}
+    for variant in VARIANTS:
+        x, y = grid_pairs[variant]
+        want = oracle.roll_lm(x, y, WIDTH, weights=wts, min_obs=1)
+        assert_close(cols["lm_coef_x"][variant], want["coef_x"], f"wlm coef {variant}")
+        assert_close(cols["lm_intercept"][variant], want["intercept"], f"wlm int {variant}")
+        assert_close(cols["lm_r2"][variant], want["r2"], f"wlm r2 {variant}")
+        assert_close(cols["lm_se_x"][variant], want["se_x"], f"wlm se {variant}")
+        assert_close(cols["lm_se_intercept"][variant], want["se_intercept"],
+                     f"wlm sei {variant}")

@@ -1,0 +1,178 @@
+"""Arrow-path numpy kernels vs the naive oracle — including exponential
+weights 0.9^(2w:1) of length 2*width, the reference's own weighted grid
+(test-roll.R:22), and the online==offline equivalence axis."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from roll_spark.operators import kernels as K
+from tests import oracle
+
+SEED = 5640
+N = 40
+
+
+def _series():
+    rng = np.random.default_rng(SEED)
+    out = {}
+    det = np.arange(N, dtype=np.float64)
+    det[::5] = 0.0
+    out["det_zeros"] = det
+    r = rng.normal(size=N)
+    r[rng.random(N) < 0.15] = 0.0
+    out["rand_zeros"] = r
+    rn = rng.normal(size=N)
+    rn[rng.random(N) < 0.15] = 0.0
+    rn[rng.random(N) < 0.2] = np.nan
+    out["rand_zeros_nas"] = rn
+    return out
+
+
+SERIES = _series()
+WIDTHS = [1, 5, 10]
+
+
+def _weights_grid(width):
+    return [None, list(0.9 ** np.arange(2 * width, 0, -1.0))]
+
+
+def assert_close(got, want, label, rtol=1e-7):
+    got, want = np.asarray(got), np.asarray(want)
+    same_na = np.isnan(got) == np.isnan(want)
+    assert same_na.all(), f"{label}: NA pattern\n got={got}\nwant={want}"
+    ok = np.isnan(want) | np.isclose(got, want, rtol=rtol, atol=1e-10)
+    assert ok.all(), f"{label}: values\n got={got}\nwant={want}"
+
+
+KERNEL_OPS = {
+    "sum": (K.conv_sum, oracle.roll_sum),
+    "mean": (K.conv_mean, oracle.roll_mean),
+    "var": (K.conv_var, oracle.roll_var),
+    "sd": (K.conv_sd, oracle.roll_sd),
+    "prod": (K.conv_prod, oracle.roll_prod),
+}
+
+
+@pytest.mark.parametrize("op", sorted(KERNEL_OPS))
+@pytest.mark.parametrize("width", WIDTHS)
+def test_conv_kernels_weighted_grid(op, width):
+    fn, ofn = KERNEL_OPS[op]
+    for weights in _weights_grid(width):
+        for min_obs in (1, min(5, width)):
+            for na_restore in (False, True):
+                for name, x in SERIES.items():
+                    got = fn(x, width, weights=weights, min_obs=min_obs,
+                             na_restore=na_restore)
+                    want = ofn(x, width, weights=weights, min_obs=min_obs,
+                               na_restore=na_restore)
+                    assert_close(got, want,
+                                 f"{op} w={width} wt={'exp' if weights else 'eq'} "
+                                 f"mo={min_obs} nr={na_restore} {name}")
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+def test_conv_pair_kernels(width):
+    rng = np.random.default_rng(SEED + 2)
+    pair_ops = {
+        "cov": (K.conv_cov, oracle.roll_cov),
+        "cor": (K.conv_cor, oracle.roll_cor),
+        "crossprod": (K.conv_crossprod, oracle.roll_crossprod),
+    }
+    for name, x in SERIES.items():
+        y = rng.normal(size=N) + 0.3 * np.nan_to_num(x)
+        if name.endswith("nas"):
+            y[rng.random(N) < 0.2] = np.nan
+        for opname, (fn, ofn) in pair_ops.items():
+            for weights in _weights_grid(width):
+                got = fn(x, y, width, weights=weights, min_obs=1)
+                want = ofn(x, y, width, weights=weights, min_obs=1)
+                assert_close(got, want, f"{opname} w={width} {name}")
+
+
+@pytest.mark.parametrize("p", [0.0, 0.25, 0.5, 0.75, 1.0])
+@pytest.mark.parametrize("width", [5, 10])
+def test_conv_quantile(p, width):
+    for name, x in SERIES.items():
+        for weights in _weights_grid(width):
+            got = K.conv_quantile(x, width, p, weights=weights, min_obs=1)
+            want = oracle.roll_quantile(x, width, p, weights=weights, min_obs=1)
+            assert_close(got, want, f"quantile p={p} w={width} "
+                                    f"wt={'exp' if weights else 'eq'} {name}")
+
+
+@pytest.mark.parametrize("width", [3, 5, 10])
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_conv_lm_k(width, k):
+    rng = np.random.default_rng(SEED + 3)
+    X = rng.normal(size=(N, k))
+    beta_true = np.arange(1, k + 1, dtype=np.float64)
+    y = X @ beta_true + 0.5 + 0.1 * rng.normal(size=N)
+    X[rng.random(N) < 0.1, 0] = np.nan
+    res = K.conv_lm_k(X, y, width, min_obs=1, intercept=True)
+    # oracle: per-window numpy lstsq with same exclusion + gates
+    for i in range(N):
+        lo = max(0, i - width + 1)
+        Xi, yi = X[lo : i + 1], y[lo : i + 1]
+        ok = ~np.isnan(Xi).any(axis=1) & ~np.isnan(yi)
+        n_obs = ok.sum()
+        if n_obs < k + 1 or n_obs < 2:
+            assert np.isnan(res["coef"][i]).all(), i
+            continue
+        Xo, yo = Xi[ok], yi[ok]
+        M = np.column_stack([np.ones(len(Xo)), Xo])
+        sol, *_ = np.linalg.lstsq(M, yo, rcond=None)
+        if np.linalg.matrix_rank(np.cov(Xo.T).reshape(k, k)) < k:
+            continue  # singular window: engine emits NA, lstsq approximates
+        assert np.allclose(res["intercept"][i], sol[0], rtol=1e-6, atol=1e-8), i
+        assert np.allclose(res["coef"][i], sol[1:], rtol=1e-6, atol=1e-8), i
+        # r2 / se vs classic formulas
+        pred = M @ sol
+        ss_res = ((yo - pred) ** 2).sum()
+        ss_tot = ((yo - yo.mean()) ** 2).sum()
+        if ss_tot > 1e-12:
+            assert np.allclose(res["r2"][i], 1 - ss_res / ss_tot, rtol=1e-6), i
+        df_resid = n_obs - (k + 1)
+        if df_resid > 0:
+            sigma2 = ss_res / df_resid
+            cov = sigma2 * np.linalg.inv(M.T @ M)
+            assert np.allclose(res["se_intercept"][i], np.sqrt(cov[0, 0]),
+                               rtol=1e-5, atol=1e-8), i
+            assert np.allclose(res["se"][i], np.sqrt(np.diag(cov)[1:]),
+                               rtol=1e-5, atol=1e-8), i
+
+
+def test_lm_k1_matches_oracle_lm():
+    x, y = SERIES["rand_zeros_nas"], SERIES["rand_zeros"]
+    for width in (5, 10):
+        res = K.conv_lm_k(x, y, width, min_obs=1, intercept=True)
+        want = oracle.roll_lm(x, y, width, min_obs=1, intercept=True)
+        assert_close(res["coef"][:, 0], want["coef_x"], f"k1 coef w={width}")
+        assert_close(res["intercept"], want["intercept"], f"k1 int w={width}")
+        assert_close(res["r2"], want["r2"], f"k1 r2 w={width}")
+        assert_close(res["se"][:, 0], want["se_x"], f"k1 se w={width}")
+        assert_close(res["se_intercept"], want["se_intercept"], f"k1 sei w={width}")
+
+
+def test_online_equals_offline_mean():
+    """The reference's own equivalence axis (test-roll.R): online
+    recursion == offline recompute, equal + exponential weights."""
+    for width in WIDTHS:
+        for weights in _weights_grid(width):
+            for name, x in SERIES.items():
+                got, _ = K.online_mean(x, width, weights=weights, min_obs=1)
+                want = oracle.roll_mean(x, width, weights=weights, min_obs=1)
+                assert_close(got, want, f"online mean w={width} {name}", rtol=1e-6)
+
+
+def test_online_mean_state_carry():
+    """Chunked evaluation with state carry == single-pass evaluation —
+    the skew-path invariant."""
+    x = SERIES["rand_zeros_nas"]
+    for width in (3, 7):
+        full, _ = K.online_mean(x, width, min_obs=1)
+        out1, st = K.online_mean(x[:17], width, min_obs=1)
+        out2, _ = K.online_mean(x[17:], width, min_obs=1, state=st)
+        got = np.concatenate([out1, out2])
+        assert_close(got, full, f"state carry w={width}")

@@ -52,6 +52,7 @@ def test_lm_matches_classic_ols(spark, grid_df, grid_pairs):
     got_a = collect_all(sdf, "lm_intercept")["rand_zeros"]
     got_r2 = collect_all(sdf, "lm_r2")["rand_zeros"]
     got_se = collect_all(sdf, "lm_se_x")["rand_zeros"]
+    got_sea = collect_all(sdf, "lm_se_intercept")["rand_zeros"]
     for i in range(width - 1, len(x)):
         wx, wy = x[i - width + 1 : i + 1], y[i - width + 1 : i + 1]
         beta, alpha = np.polyfit(wx, wy, 1)
@@ -65,3 +66,5 @@ def test_lm_matches_classic_ols(spark, grid_df, grid_pairs):
         sxx = ((wx - wx.mean()) ** 2).sum()
         se = np.sqrt(ss_res / (width - 2) / sxx)
         assert np.isclose(got_se[i], se, rtol=1e-8), i
+        sea = np.sqrt(ss_res / (width - 2) * (1 / width + wx.mean() ** 2 / sxx))
+        assert np.isclose(got_sea[i], sea, rtol=1e-8), i
