@@ -1,0 +1,141 @@
+"""Retention tiers: Chan-merged cascade == direct recompute; gap-fill;
+kill/resume bit-identity of the checkpointed pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from roll_spark.plans import tiers as T
+from roll_spark.plans.checkpoint import CheckpointedPipeline
+from roll_spark.sources.transcripts import derive_series, generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    df = derive_series(
+        generate_transcripts(spark, n_convs=8, median_turns=60, skew_factor=20)
+    )
+    return df.filter(F.col("latency_s").isNotNull()).cache()
+
+
+def _stats_map(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        key = (d["conv_id"], d["bucket_ts"])
+        out[key] = d
+    return out
+
+
+@pytest.mark.parametrize("tier", ["1h", "1d"])
+def test_cascade_equals_direct(spark, tdf, tier):
+    """Merging finer sufficient stats (Chan) must reproduce a direct
+    groupBy from raw EXACTLY for n/sum/min/max and to FP tolerance for
+    m2 — the continuous-aggregate correctness contract."""
+    chain = {"1h": ("1m", "1h"), "1d": ("1m", "1h", "1d")}[tier]
+    cascaded = T.finalize(T.cascade(tdf, "latency_s", "ts", "conv_id", tiers=chain)[tier])
+    direct = T.finalize(T.rollup_raw(tdf, "latency_s", "ts", "conv_id", tier))
+    a, b = _stats_map(cascaded), _stats_map(direct)
+    assert a.keys() == b.keys()
+    for k in a:
+        for col in ("n", "min_x", "max_x", "first_ts", "last_ts", "first_x", "last_x"):
+            assert a[k][col] == b[k][col], (k, col, a[k][col], b[k][col])
+        assert np.isclose(a[k]["sum_x"], b[k]["sum_x"], rtol=1e-12), k
+        assert np.isclose(a[k]["mean_x"], b[k]["mean_x"], rtol=1e-12), k
+        va, vb = a[k]["var_x"], b[k]["var_x"]
+        if va is None or vb is None:
+            assert va == vb, k
+        else:
+            assert np.isclose(va, vb, rtol=1e-9, atol=1e-12), k
+
+
+def test_rollup_mean_equals_raw_groupby(spark, tdf):
+    got = T.finalize(T.rollup_raw(tdf, "text_len", "ts", "conv_id", "1h"))
+    want = (
+        tdf.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(F.avg("text_len").alias("m"), F.count("text_len").alias("n"))
+    )
+    j = got.join(want, ["conv_id", "bucket_ts"])
+    bad = j.filter(
+        (F.abs(F.col("mean_x") - F.col("m")) > 1e-9) | (got["n"] != want["n"])
+    ).count()
+    assert bad == 0
+
+
+def test_gapfill_locf_and_linear(spark, tdf):
+    stats = T.finalize(T.rollup_raw(tdf, "text_len", "ts", "conv_id", "1h"))
+    for method in ("locf", "linear"):
+        filled = T.gapfill(stats, "conv_id", "1h", value="mean_x", method=method)
+        pdf = filled.orderBy("conv_id", "bucket_ts").toPandas()
+        # dense grid: hourly steps, no holes
+        for conv, g in pdf.groupby("conv_id"):
+            steps = g["bucket_ts"].diff().dropna().dt.total_seconds().unique()
+            assert set(steps) == {3600.0}, (conv, steps)
+            # observed buckets keep their value
+            obs = g[~g["is_gap"]]
+            assert np.allclose(obs["mean_x_filled"], obs["mean_x"])
+            # gaps: filled value must lie between bracketing observations
+            vals = g["mean_x"].to_numpy()
+            fill = g["mean_x_filled"].to_numpy()
+            isgap = g["is_gap"].to_numpy()
+            for i in np.where(isgap)[0]:
+                prev = next((vals[j] for j in range(i - 1, -1, -1) if not isgap[j]), None)
+                nxt = next((vals[j] for j in range(i + 1, len(g)) if not isgap[j]), None)
+                if prev is None:
+                    continue
+                if method == "locf":
+                    assert fill[i] == prev, (conv, i)
+                elif nxt is not None:
+                    lo, hi = min(prev, nxt), max(prev, nxt)
+                    assert lo - 1e-9 <= fill[i] <= hi + 1e-9, (conv, i)
+
+
+def _run_pipeline(spark, tdf, root):
+    pipe = CheckpointedPipeline(spark, root)
+    s1m = pipe.stage(
+        "tier_1m",
+        lambda: T.rollup_raw(tdf, "text_len", "ts", "conv_id", "1m"),
+        params={"tier": "1m", "value": "text_len"},
+    )
+    s1h = pipe.stage(
+        "tier_1h",
+        lambda: T.merge_tier(s1m, "conv_id", "1h"),
+        params={"tier": "1h", "from": "1m"},
+    )
+    s1d = pipe.stage(
+        "tier_1d",
+        lambda: T.merge_tier(s1h, "conv_id", "1d"),
+        params={"tier": "1d", "from": "1h"},
+    )
+    return pipe, s1d
+
+
+def _digest(df):
+    import hashlib
+
+    rows = sorted(str(sorted(r.asDict().items())) for r in df.collect())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def test_checkpoint_resume_bit_identical(spark, tdf, tmp_path):
+    root = str(tmp_path / "ckpt")
+    pipe, final = _run_pipeline(spark, tdf, root)
+    cold = _digest(final)
+    m = pipe.manifest("tier_1d")
+    assert m and m["complete"] and m["metrics"]["rows"] > 0
+
+    # simulated kill: the 1d stage never finished (manifest gone)
+    pipe.invalidate("tier_1d")
+    pipe2, final2 = _run_pipeline(spark, tdf, root)
+    assert _digest(final2) == cold
+
+    # full restart with everything cached: stages are read, not recomputed
+    pipe3, final3 = _run_pipeline(spark, tdf, root)
+    assert _digest(final3) == cold
+
+    # changed params -> stale checkpoint must NOT be served
+    stale = pipe3.is_complete("tier_1d", {"tier": "1d", "from": "SOMETHING_ELSE"})
+    assert not stale
