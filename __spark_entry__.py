@@ -241,6 +241,102 @@ def q_gapfill_locf_1h(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from roll_spark.datapipe.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from roll_spark.datapipe.text import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_stats(docs, "text", "doc_id")
+    return out.select("doc_id", "n_chars", "n_tokens",
+                      _r6("avg_token_len").alias("avg_token_len"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from roll_spark.datapipe.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_score(docs, "text", "doc_id")
+    return out.select("doc_id", _r6("digit_ratio").alias("digit_ratio"),
+                      _r6("avg_token_len").alias("avg_token_len"),
+                      _r6("quality").alias("quality"))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from roll_spark.datapipe.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lang_id(docs, "text", "doc_id")
+    return out.select("doc_id", "en_markers", _r6("en_density").alias("en_density"),
+                      "lang_pred")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from roll_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return out.select("da", "db", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    from roll_spark.datapipe.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.35)
+    return out.select("da", "db", _r6(F.col("cosine")).alias("cosine"))
+
+
+def q_ann_brute_top5(spark, sf_dir):
+    from roll_spark.datapipe.similarity import brute_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_topk(emb, queries_df, k=5, round_digits=6).select(
+        "query_id", "neighbor_id", F.col("cosine"), "rank"
+    )
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64-based -> no SQL oracle;
+    driver records a rows-only check; numpy-oracle tested in pytest)."""
+    from roll_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=0.5)
+    return out.select("da", "db", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash banding near-dups (xxhash64-based -> rows-only check)."""
+    from roll_spark.datapipe.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_lsh_ann_top5(spark, sf_dir):
+    """Hyperplane-LSH ANN (approximate by design -> rows-only check;
+    recall vs brute force asserted in pytest)."""
+    from roll_spark.datapipe.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roll_mean_w10": q_roll_mean_w10,
@@ -267,6 +363,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1h_cascade": q_tier_1h_cascade,
         "tier_1d_cascade": q_tier_1d_cascade,
         "gapfill_locf_1h": q_gapfill_locf_1h,
+        "dedup_exact": q_dedup_exact,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "emb_neardup_pairs": q_emb_neardup_pairs,
+        "ann_brute_top5": q_ann_brute_top5,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_ann_top5": q_lsh_ann_top5,
     }
 
 
@@ -310,6 +416,116 @@ SELECT user_id, CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_ts,
        ROUND(1e-7 + coalesce(CASE WHEN count(*) > 1 THEN stddev_samp(value) END, 0.0), 6) AS sd_x
 FROM events GROUP BY 1, 2
 """
+
+
+
+_SHINGLES = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+s AS (SELECT doc_id,
+             unnest(list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                                   for i in range(1, len(tok) - 1)])) AS sh
+      FROM t WHERE len(tok) >= 3)
+"""
+
+_COS = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+ (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+
+def _datapipe_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY text""",
+        "doc_token_stats": """
+            SELECT doc_id, length(text) AS n_chars,
+              CASE WHEN length(text) = 0 THEN 0
+                   ELSE length(text) - length(replace(text, ' ', '')) + 1
+              END AS n_tokens,
+              ROUND(1e-7 + CASE WHEN length(text) = 0 OR
+                         (length(text) - length(replace(text, ' ', '')) + 1) = 0
+                    THEN 0.0
+                    ELSE length(text)::DOUBLE /
+                         (length(text) - length(replace(text, ' ', '')) + 1)
+              END, 6) AS avg_token_len
+            FROM documents""",
+        "doc_quality": """
+            WITH f AS (
+              SELECT doc_id, length(text) AS n,
+                CASE WHEN length(text) = 0 THEN 0
+                     ELSE length(text) - length(replace(text, ' ', '')) + 1
+                END AS n_tokens,
+                length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                CASE WHEN n > 0 THEN digits::DOUBLE / n ELSE 0.0 END AS digit_ratio,
+                CASE WHEN n_tokens > 0 THEN n::DOUBLE / n_tokens ELSE 0.0 END AS avg_tok,
+                LEAST(n::DOUBLE / 200.0, 1.0) AS len_score
+              FROM f
+            )
+            SELECT doc_id,
+              ROUND(1e-7 + digit_ratio, 6) AS digit_ratio,
+              ROUND(1e-7 + avg_tok, 6) AS avg_token_len,
+              ROUND(1e-7 + len_score *
+                    (CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 1.0 ELSE 0.5 END) *
+                    (1.0 - digit_ratio), 6) AS quality
+            FROM g""",
+        "doc_lang_id": """
+            WITH f AS (
+              SELECT doc_id, ' ' || text || ' ' AS padded,
+                CASE WHEN length(text) = 0 THEN 0
+                     ELSE length(text) - length(replace(text, ' ', '')) + 1
+                END AS n_tokens
+              FROM documents
+            ), m AS (
+              SELECT doc_id, n_tokens,
+                CAST((length(padded) - length(regexp_replace(padded, ' the ', '', 'g'))) / 5 AS BIGINT)
+                + CAST((length(padded) - length(regexp_replace(padded, ' and ', '', 'g'))) / 5 AS BIGINT)
+                + CAST((length(padded) - length(regexp_replace(padded, ' of ', '', 'g'))) / 4 AS BIGINT)
+                + CAST((length(padded) - length(regexp_replace(padded, ' to ', '', 'g'))) / 4 AS BIGINT)
+                + CAST((length(padded) - length(regexp_replace(padded, ' a ', '', 'g'))) / 3 AS BIGINT)
+                AS en_markers
+              FROM f
+            )
+            SELECT doc_id, en_markers,
+              ROUND(1e-7 + CASE WHEN n_tokens > 0
+                    THEN en_markers::DOUBLE / n_tokens ELSE 0.0 END, 6) AS en_density,
+              CASE WHEN (CASE WHEN n_tokens > 0
+                         THEN en_markers::DOUBLE / n_tokens ELSE 0.0 END) >= 0.01
+                   THEN 'en' ELSE 'unk' END AS lang_pred
+            FROM m""",
+        "ngram_jaccard_pairs": _SHINGLES + """
+            , c AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sz AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1)
+            SELECT da, db,
+              ROUND(1e-7 + common::DOUBLE / (x.nsh + y.nsh - common), 6) AS jaccard
+            FROM c JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+            WHERE common::DOUBLE / (x.nsh + y.nsh - common) >= 0.2""",
+        "emb_neardup_pairs": f"""
+            SELECT a.vec_id AS da, b.vec_id AS db,
+                   ROUND(1e-7 + {_COS}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.35""",
+        "ann_brute_top5": f"""
+            WITH scored AS (
+              SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                     ROUND(1e-7 + {_COS}, 6) AS cosine
+              FROM embeddings a
+              JOIN (SELECT * FROM embeddings WHERE vec_id < 10) b
+                ON a.vec_id != b.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT * FROM ranked WHERE rank <= 5""",
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -503,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf_mean,
               CAST(mean_x IS NULL AS INT) AS is_gap
             FROM j""",
+        **_datapipe_oracles(),
     }
 
 

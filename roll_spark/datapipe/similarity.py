@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_topk``  exact cosine top-k: broadcast the (small) query set,
+  JVM-side dot products via zip_with/aggregate, rank per query. The
+  correctness baseline.
+- ``lsh_topk``    random-hyperplane LSH: deterministic seeded
+  projection matrix (broadcast literal), sign-bit bucket key, candidates
+  collide on >=1 band, exact rerank inside buckets. The scale path: the
+  corpus is scanned once and joined only within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in
+    float64 JVM expressions (zip_with products + aggregate sums)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for every query vector.
+
+    ``queries`` is expected to be small (it is broadcast); ranking is
+    (cosine desc, neighbour id asc) on the optionally-rounded cosine so
+    results are reproducible across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec).alias("cv"))
+    cos = cosine_expr("qv", "cv")
+    if round_digits is not None:
+        cos = F.round(cos + F.lit(10.0 ** (-round_digits - 1)), round_digits)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_expr(vec: str, planes: list[list[float]], band: int, rows: int) -> Column:
+    """Sign-bit bucket key for one band of ``rows`` hyperplanes."""
+    bits = []
+    for r in range(rows):
+        plane = planes[band * rows + r]
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << r))
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return key
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH blocking + exact rerank.
+
+    Recall is tunable via bands x rows; candidates = corpus rows sharing
+    at least one band key with the query. At 10^10 vectors the bucket
+    join replaces the full cross join — the only all-pairs work left is
+    within-bucket rerank.
+    """
+    rows = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def banded(df, id_alias, vec_alias):
+        sel = df.select(F.col(id_col).alias(id_alias), F.col(vec).alias(vec_alias))
+        return sel.select(
+            id_alias, vec_alias,
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    lsh_bucket_expr(vec_alias, planes, b, rows).alias("key"),
+                )
+                for b in range(bands)
+            ])).alias("bk"),
+        ).select(id_alias, vec_alias, "bk.band", "bk.key")
+
+    qb = banded(queries, "query_id", "qv")
+    cb = banded(emb, "neighbor_id", "cv")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

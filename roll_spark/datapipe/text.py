@@ -1,0 +1,91 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID heuristic, document fingerprinting — all closed-form JVM expressions
+(reproducible in ANSI SQL for the driver oracle; no regex dialects, no
+Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny English stopword probe set for the n-gram language heuristic
+_EN_MARKERS = [" the ", " and ", " of ", " to ", " a "]
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count via the length-difference identity —
+    identical semantics in Spark and DuckDB (no split-dialect traps)."""
+    n = F.length(text)
+    spaces = n - F.length(F.regexp_replace(text, " ", ""))
+    # simple single-space tokenization: tokens = spaces + 1 on non-empty
+    return F.when(n == 0, F.lit(0)).otherwise(spaces + 1)
+
+
+def token_stats(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    t = F.col(text)
+    n_tokens = token_count_expr(t)
+    n_chars = F.length(t)
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    penalize very short docs, extreme token lengths, and digit-heavy
+    text. Formula-only so the oracle can reproduce it exactly."""
+    t = F.col(text)
+    n = F.length(t)
+    n_tokens = token_count_expr(t)
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    digit_ratio = F.when(n > 0, digits.cast("double") / n).otherwise(F.lit(0.0))
+    avg_tok = F.when(n_tokens > 0, n.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(n.cast("double") / 200.0, F.lit(1.0))
+    tok_score = F.when((avg_tok >= 3) & (avg_tok <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = len_score * tok_score * (F.lit(1.0) - digit_ratio)
+    return df.select(
+        F.col(id_col),
+        digit_ratio.alias("digit_ratio"),
+        avg_tok.alias("avg_token_len"),
+        score.alias("quality"),
+    )
+
+
+def en_marker_count_expr(text: Column) -> Column:
+    """Occurrences of common-English marker words (padded matches)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    total = F.lit(0)
+    for m in _EN_MARKERS:
+        occ = (F.length(padded) - F.length(F.regexp_replace(padded, m, ""))) / len(m)
+        total = total + occ.cast("long")
+    return total
+
+
+def lang_id(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Language-ID heuristic: English marker-word density -> 'en' else
+    'unk'. (A real model would be a broadcast n-gram table; the Spark
+    plumbing — per-doc scoring + threshold — is identical.)"""
+    t = F.col(text)
+    n_tokens = token_count_expr(t)
+    markers = en_marker_count_expr(t)
+    density = F.when(n_tokens > 0, markers.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        markers.alias("en_markers"),
+        density.alias("en_density"),
+        F.when(density >= 0.01, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """64-bit document fingerprint: xxhash64 of the token stream plus a
+    content-length salt — stable under whitespace-preserving storage,
+    usable as a cheap near-exact dedup key."""
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text), F.length(F.col(text))).alias("fingerprint"),
+    )

@@ -1,0 +1,158 @@
+"""Training-data pipeline ops vs independent numpy/python oracles on
+the driver-provided documents/embeddings tables (sf0.001)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from roll_spark.datapipe.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from roll_spark.datapipe.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from roll_spark.datapipe.similarity import brute_topk, lsh_topk
+from roll_spark.datapipe.text import lang_id, quality_score, token_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    got = {r["text_md5"]: (r["keep_id"], r["n_copies"]) for r in
+           exact_dedup(docs, "text", "doc_id").collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    want = {}
+    for _, row in pdf.iterrows():
+        h = hashlib.md5(row["text"].encode()).hexdigest()
+        k, n = want.get(h, (row["doc_id"], 0))
+        want[h] = (min(k, row["doc_id"]), n + 1)
+    assert got == want
+
+
+def _py_shingles(text, n=3):
+    tok = text.split(" ")
+    return {" ".join(tok[i : i + n]) for i in range(len(tok) - n + 1)} if len(tok) >= n else set()
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = {(r["da"], r["db"]): round(r["jaccard"], 9) for r in
+           ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    sh = {row["doc_id"]: _py_shingles(row["text"]) for _, row in pdf.iterrows()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= 0.2:
+                want[(a, b)] = round(j, 9)
+    assert got == want and len(got) > 0
+
+
+def test_minhash_lsh_candidates_cover_exact_dups(spark, docs):
+    """Every high-jaccard pair must surface as an LSH candidate (with
+    32 hashes / 8 bands the S-curve makes j>=0.7 collisions ~certain)."""
+    exact = {(r["da"], r["db"]) for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).collect()}
+    cand = {(r["da"], r["db"]) for r in
+            minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=None).collect()}
+    missed = exact - cand
+    assert not missed, f"LSH missed near-dups: {missed}"
+    verified = {(r["da"], r["db"]) for r in
+                minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=0.7).collect()}
+    assert verified == exact
+
+
+def test_simhash_neardup_finds_exact_copies(spark, docs):
+    # append exact copies of two docs: hamming 0 pairs must be found
+    dup = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
+    aug = docs.unionByName(dup)
+    pairs = {(r["da"], r["db"]) for r in
+             simhash_neardup_pairs(aug, "text", "doc_id", max_hamming=0).collect()}
+    base = [r["doc_id"] for r in docs.limit(2).collect()]
+    for b in base:
+        assert (b, b + 100000) in pairs
+
+
+def test_brute_topk_vs_numpy(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = brute_topk(emb, queries, k=5, round_digits=None).collect()
+    E = np.array(emb.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist(),
+                 dtype=np.float64)
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    idx = {v: i for i, v in enumerate(ids)}
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    for q in range(3):
+        sims = En @ En[idx[q]]
+        order = [ids[i] for i in np.argsort(-sims, kind="stable") if ids[i] != q][:5]
+        got_q = sorted([r for r in got if r["query_id"] == q], key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in got_q] == order, q
+
+
+def test_lsh_topk_recall(spark, emb):
+    """LSH-bucketed ANN: top-1 recall vs brute force must be high on
+    this corpus (random hyperplanes, 16 planes / 4 bands)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {r["query_id"]: r["neighbor_id"] for r in
+             brute_topk(emb, queries, k=1, round_digits=None).collect()}
+    approx = {r["query_id"]: r["neighbor_id"] for r in
+              lsh_topk(emb, queries, k=1).collect()}
+    hits = sum(1 for q, n in brute.items() if approx.get(q) == n)
+    assert hits / len(brute) >= 0.6, f"top-1 recall {hits}/{len(brute)}"
+
+
+def test_text_ops_match_python(spark, docs):
+    pdf = docs.select("doc_id", "text").toPandas()
+    stats = {r["doc_id"]: r for r in token_stats(docs, "text", "doc_id").collect()}
+    qual = {r["doc_id"]: r for r in quality_score(docs, "text", "doc_id").collect()}
+    lang = {r["doc_id"]: r for r in lang_id(docs, "text", "doc_id").collect()}
+    for _, row in pdf.iterrows():
+        t, d = row["text"], row["doc_id"]
+        n_tok = 0 if len(t) == 0 else t.count(" ") + 1
+        assert stats[d]["n_tokens"] == n_tok, d
+        assert stats[d]["n_chars"] == len(t), d
+        digits = sum(c.isdigit() for c in t)
+        if len(t):
+            assert abs(qual[d]["digit_ratio"] - digits / len(t)) < 1e-6, d
+        padded = f" {t} "
+        markers = sum(padded.count(m) for m in (" the ", " and ", " of ", " to ", " a "))
+        assert lang[d]["en_markers"] == markers, d
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n=48)
+    feats = extract_features(media).collect()
+    assert len(feats) == 48
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert r["features"][0] > 0  # byte count
+    plan = frame_sample_plan(media, every_n=2)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert plan.count() >= vids
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
