@@ -31,6 +31,9 @@ from roll_spark.operators.base import Cols, _as_list
 _ROW_ID = "__rs_row_id"
 
 
+_WIDE_TYPES = (TT.StringType, TT.BinaryType)
+
+
 def _apply_kernel(
     df: DataFrame,
     in_cols: list[str],
@@ -41,20 +44,47 @@ def _apply_kernel(
 ) -> DataFrame:
     """Run ``kernel(pdf) -> dict[out_col, np.ndarray]`` per series group.
 
-    To keep the Arrow payload minimal (column pruning through the UDF),
-    only (row_id, in_cols) cross the boundary; results are joined back
-    on the synthetic row id. row_id = monotonically_increasing_id is
-    partition-local arithmetic, no shuffle.
+    Two physical strategies:
+
+    - PASSTHROUGH (narrow frames): every column rides through the Arrow
+      batch and the UDF appends the outputs — ONE shuffle (the groupBy),
+      no join. Chosen when no non-key column is a string/binary wider
+      than the keys (typical derived-series frames).
+    - JOIN-BACK (wide frames, e.g. raw transcripts with full text):
+      only (row_id, keys, order, inputs) cross the Python boundary;
+      results join back on a synthetic row id so megabyte text/binary
+      payloads never serialize through Arrow twice.
     """
     by_l, order_l = _as_list(by), _as_list(order)
+    key_cols = set(by_l) | set(order_l) | set(in_cols)
+    wide = [
+        f.name
+        for f in df.schema
+        if f.name not in key_cols and isinstance(f.dataType, _WIDE_TYPES)
+    ]
+    order_cols = list(order_l)
+
+    if not wide:
+        out_schema = TT.StructType(
+            list(df.schema)
+            + [TT.StructField(n, TT._parse_datatype_string(t)) for n, t in out_fields]
+        )
+
+        def fn_pass(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(order_cols, kind="stable")
+            res = kernel(pdf)
+            return pdf.assign(**res)
+
+        return df.groupBy(*by_l).applyInPandas(fn_pass, schema=out_schema)
+
     with_id = df.withColumn(_ROW_ID, F.monotonically_increasing_id())
     slim = with_id.select(_ROW_ID, *by_l, *order_l, *in_cols)
-
     out_schema = TT.StructType(
         [TT.StructField(_ROW_ID, TT.LongType())]
         + [TT.StructField(n, TT._parse_datatype_string(t)) for n, t in out_fields]
     )
-    order_cols = list(order_l)
 
     def fn(pdf):
         import pandas as pd

@@ -233,7 +233,9 @@ def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
     wmat = np.broadcast_to(wts_full, wins.shape)
     okm = ~np.isnan(wins)
     n_obs = okm.sum(axis=1)
-    order = np.argsort(np.where(okm, wins, np.inf), axis=1, kind="stable")
+    # unstable introsort matches the reference's std::sort (stl_sort_index
+    # is introsort); ties carry equal values so selection is unaffected
+    order = np.argsort(np.where(okm, wins, np.inf), axis=1)
     sv = np.take_along_axis(wins, order, axis=1)
     sw = np.take_along_axis(np.where(okm, wmat, 0.0), order, axis=1)
     total = sw.sum(axis=1)
