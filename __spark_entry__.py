@@ -242,6 +242,77 @@ def q_gapfill_locf_1h(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# weighted / exp-decay Arrow-kernel path (reference src/roll.cpp:378 dispatch)
+# ---------------------------------------------------------------------------
+
+# exponential decay lambda=0.9, newest slot weight 1 (oldest-first tuple)
+_EXP10 = tuple(0.9 ** (9 - i) for i in range(10))
+
+
+def q_roll_mean_exp_w10(spark, sf_dir):
+    df = roll_mean(_events(spark, sf_dir), "value", "user_id", "ts", 10,
+                   min_obs=5, weights=_EXP10, out="s")
+    # weighted stats have dense digits at 1e-6: round at 4 decimals so the
+    # 1e-5 nudge dominates conv-vs-list summation-order noise
+    return df.select("user_id", "ts", F.round(F.col("s") + 1e-5, 4).alias("wmean10"))
+
+
+def q_roll_var_exp_w10(spark, sf_dir):
+    df = roll_var(_events(spark, sf_dir), "value", "user_id", "ts", 10,
+                  min_obs=5, weights=_EXP10, out="s")
+    return df.select("user_id", "ts", F.round(F.col("s") + 1e-4, 3).alias("wvar10"))
+
+
+def q_roll_cov_exp_w10(spark, sf_dir):
+    df = roll_cov(_with_lag(spark, sf_dir), "value", "value_lag", "user_id", "ts", 10,
+                  min_obs=5, weights=_EXP10, out="s")
+    return df.select("user_id", "ts", F.round(F.col("s") + 1e-4, 3).alias("wcov10"))
+
+
+def q_roll_sum_wlin_w5(spark, sf_dir):
+    # integer slot weights keep the weighted sum an exact 2-decimal value
+    df = roll_sum(_events(spark, sf_dir), "value", "user_id", "ts", 5,
+                  min_obs=1, weights=(1.0, 2.0, 3.0, 4.0, 5.0), out="s")
+    return _sel(df, "s", "wsum5")
+
+
+def q_roll_mean_narestore_w10(spark, sf_dir):
+    """min_obs + na_restore over deterministically injected NULLs."""
+    ev = _events(spark, sf_dir).withColumn(
+        "v",
+        F.when(F.round(F.col("value") * 100, 0).cast("long") % 7 == 0,
+               F.lit(None).cast("double")).otherwise(F.col("value")),
+    )
+    df = roll_mean(ev, "v", "user_id", "ts", 10, min_obs=3, na_restore=True, out="s")
+    return _sel(df, "s", "nr_mean10")
+
+
+def q_roll_lm2_w20(spark, sf_dir):
+    """k=2 rolling OLS via the rolling-XtX/Xty Arrow kernel; oracle solves
+    the same normal equations in closed form (Cramer's rule)."""
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_lm_k
+
+    ow = ordered_window("user_id", "ts")
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(ow).cast("double"))
+        .withColumn("vlag", F.lag("value").over(ow))
+    )
+    df = roll_lm_k(ev, ["rn", "vlag"], "value", "user_id", "ts",
+                   RollSpec(width=20, min_obs=20))
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("lm_coef")[0]).alias("b1"),
+        _r6(F.col("lm_coef")[1]).alias("b2"),
+        _r6(F.col("lm_intercept")).alias("alpha"),
+        _r6(F.col("lm_r2")).alias("r2"),
+        _r6(F.col("lm_se")[0]).alias("se1"),
+        _r6(F.col("lm_se")[1]).alias("se2"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
 
@@ -358,6 +429,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_all_w10": q_roll_all_w10,
         "expanding_mean": q_expanding_mean,
         "roll_lm_w20": q_roll_lm_w20,
+        "roll_mean_exp_w10": q_roll_mean_exp_w10,
+        "roll_var_exp_w10": q_roll_var_exp_w10,
+        "roll_cov_exp_w10": q_roll_cov_exp_w10,
+        "roll_sum_wlin_w5": q_roll_sum_wlin_w5,
+        "roll_mean_narestore_w10": q_roll_mean_narestore_w10,
+        "roll_lm2_w20": q_roll_lm2_w20,
         "latency_roll_mean_w10": q_latency_roll_mean_w10,
         "tier_1m_stats": q_tier_1m_stats,
         "tier_1h_cascade": q_tier_1h_cascade,
@@ -686,6 +763,143 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + CASE WHEN r2 IS NOT NULL AND n > 2
                     THEN sqrt((1-r2)*var_y/(n-2) * (1.0/n + mx*mx/A)) END, 6) AS se_alpha
             FROM f""",
+        # weighted path oracles: weight of the i-th item (oldest-first) in an
+        # n-item window list = slot weight at lag n-i (newest slot last,
+        # reference roll_vec.h:556). list() over the frame preserves order
+        # and NULL slots, so lag distances count ALL rows, observed or not.
+        "roll_mean_exp_w10": f"""
+            WITH win AS (
+              SELECT user_id, ts, list(value) OVER ({_W10}) AS l FROM events
+            ), s AS (SELECT user_id, ts, l, len(l) AS n FROM win)
+            SELECT user_id, ts,
+              ROUND(1e-5 + CASE WHEN n >= 5 THEN
+                list_sum([l[i] * pow(0.9, n - i) FOR i IN range(1, n + 1)]) /
+                list_sum([pow(0.9, n - i) FOR i IN range(1, n + 1)]) END, 4)
+                AS wmean10
+            FROM s""",
+        "roll_var_exp_w10": f"""
+            WITH win AS (
+              SELECT user_id, ts, list(value) OVER ({_W10}) AS l FROM events
+            ), s AS (SELECT user_id, ts, l, len(l) AS n FROM win
+            ), m AS (
+              SELECT user_id, ts, n,
+                list_sum([pow(0.9, n - i) FOR i IN range(1, n + 1)]) AS sw,
+                list_sum([pow(pow(0.9, n - i), 2) FOR i IN range(1, n + 1)]) AS sw2,
+                list_sum([l[i] * pow(0.9, n - i) FOR i IN range(1, n + 1)]) AS swx,
+                list_sum([l[i] * l[i] * pow(0.9, n - i) FOR i IN range(1, n + 1)]) AS swx2
+              FROM s)
+            SELECT user_id, ts,
+              ROUND(1e-4 + CASE WHEN n >= 5 AND n > 1 THEN
+                (swx2 - swx * swx / sw) / (sw - sw2 / sw) END, 3) AS wvar10
+            FROM m""",
+        "roll_cov_exp_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS vl
+              FROM events
+            ), win AS (
+              SELECT user_id, ts,
+                     list(struct_pack(a := value, b := vl)) OVER ({_W10}) AS l
+              FROM t
+            ), s AS (SELECT user_id, ts, l, len(l) AS n FROM win
+            ), m AS (
+              SELECT user_id, ts, n,
+                list_sum([CASE WHEN l[i].a IS NOT NULL AND l[i].b IS NOT NULL
+                          THEN 1 END FOR i IN range(1, n + 1)]) AS n_obs,
+                list_sum([CASE WHEN l[i].a IS NOT NULL AND l[i].b IS NOT NULL
+                          THEN pow(0.9, n - i) END FOR i IN range(1, n + 1)]) AS sw,
+                list_sum([CASE WHEN l[i].a IS NOT NULL AND l[i].b IS NOT NULL
+                          THEN pow(pow(0.9, n - i), 2) END FOR i IN range(1, n + 1)]) AS sw2,
+                list_sum([l[i].a * pow(0.9, n - i) * (l[i].b - l[i].b + 1)
+                          FOR i IN range(1, n + 1)]) AS swx,
+                list_sum([l[i].b * pow(0.9, n - i) * (l[i].a - l[i].a + 1)
+                          FOR i IN range(1, n + 1)]) AS swy,
+                list_sum([l[i].a * l[i].b * pow(0.9, n - i)
+                          FOR i IN range(1, n + 1)]) AS swxy
+              FROM s)
+            SELECT user_id, ts,
+              ROUND(1e-4 + CASE WHEN n_obs >= 5 AND n_obs > 1 THEN
+                (swxy - swx * swy / sw) / (sw - sw2 / sw) END, 3) AS wcov10
+            FROM m""",
+        "roll_sum_wlin_w5": f"""
+            WITH win AS (
+              SELECT user_id, ts, list(value) OVER ({_W5}) AS l FROM events
+            ), s AS (SELECT user_id, ts, l, len(l) AS n FROM win)
+            SELECT user_id, ts,
+              ROUND(1e-7 + list_sum([l[i] * (5 - n + i) FOR i IN range(1, n + 1)]), 6)
+                AS wsum5
+            FROM s""",
+        "roll_mean_narestore_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts,
+                CASE WHEN CAST(round(value * 100) AS BIGINT) % 7 = 0 THEN NULL
+                     ELSE value END AS v
+              FROM events)
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN v IS NULL THEN NULL
+                    WHEN count(v) OVER ({_W10}) >= 3
+                    THEN avg(v) OVER ({_W10}) END, 6) AS nr_mean10
+            FROM t""",
+        "roll_lm2_w20": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS rn,
+                lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS vlag
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                CASE WHEN vlag IS NOT NULL THEN rn END AS x1,
+                vlag AS x2,
+                CASE WHEN vlag IS NOT NULL THEN value END AS y
+              FROM t
+            ), s AS (
+              SELECT user_id, ts,
+                count(y) OVER ({_W20}) AS n,
+                sum(x1) OVER ({_W20}) AS sx1,
+                sum(x2) OVER ({_W20}) AS sx2,
+                sum(y) OVER ({_W20}) AS sy,
+                sum(x1*x1) OVER ({_W20}) AS sx1x1,
+                sum(x1*x2) OVER ({_W20}) AS sx1x2,
+                sum(x2*x2) OVER ({_W20}) AS sx2x2,
+                sum(x1*y) OVER ({_W20}) AS sx1y,
+                sum(x2*y) OVER ({_W20}) AS sx2y,
+                sum(y*y) OVER ({_W20}) AS syy
+              FROM m
+            ), d AS (
+              SELECT user_id, ts, n,
+                sx1x1 - sx1*sx1/n AS S11, sx1x2 - sx1*sx2/n AS S12,
+                sx2x2 - sx2*sx2/n AS S22,
+                sx1y - sx1*sy/n AS c1, sx2y - sx2*sy/n AS c2,
+                syy - sy*sy/n AS Syy,
+                sx1/n AS mx1, sx2/n AS mx2, sy/n AS my
+              FROM s
+            ), e AS (
+              SELECT *, S11*S22 - S12*S12 AS det FROM d
+            ), f AS (
+              SELECT user_id, ts, n, S11, S12, S22, Syy, mx1, mx2, my, det,
+                CASE WHEN n >= 20 AND det != 0 THEN (c1*S22 - c2*S12)/det END AS b1,
+                CASE WHEN n >= 20 AND det != 0 THEN (c2*S11 - c1*S12)/det END AS b2
+              FROM e
+            ), g AS (
+              SELECT *,
+                CASE WHEN b1 IS NOT NULL AND Syy > 2.220446049250313e-16
+                     THEN (b1*b1*S11 + 2*b1*b2*S12 + b2*b2*S22)/Syy END AS r2
+              FROM f
+            ), h AS (
+              SELECT *,
+                CASE WHEN r2 IS NOT NULL AND n > 3
+                     THEN (1 - r2) * Syy / (n - 3) END AS var_resid
+              FROM g
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + b1, 6) AS b1,
+              ROUND(1e-7 + b2, 6) AS b2,
+              ROUND(1e-7 + CASE WHEN b1 IS NOT NULL
+                    THEN my - mx1*b1 - mx2*b2 END, 6) AS alpha,
+              ROUND(1e-7 + r2, 6) AS r2,
+              ROUND(1e-7 + sqrt(var_resid * S22 / det), 6) AS se1,
+              ROUND(1e-7 + sqrt(var_resid * S11 / det), 6) AS se2
+            FROM h""",
         "latency_roll_mean_w10": f"""
             WITH t AS (
               SELECT user_id, ts,

@@ -28,9 +28,6 @@ from roll_spark.config import RollSpec
 from roll_spark.operators import kernels as K
 from roll_spark.operators.base import Cols, _as_list
 
-_ROW_ID = "__rs_row_id"
-
-
 _WIDE_TYPES = (TT.StringType, TT.BinaryType)
 
 
@@ -51,9 +48,15 @@ def _apply_kernel(
       no join. Chosen when no non-key column is a string/binary wider
       than the keys (typical derived-series frames).
     - JOIN-BACK (wide frames, e.g. raw transcripts with full text):
-      only (row_id, keys, order, inputs) cross the Python boundary;
-      results join back on a synthetic row id so megabyte text/binary
-      payloads never serialize through Arrow twice.
+      only (keys, order, inputs) cross the Python boundary; results join
+      back on the (by, order) key columns so megabyte text/binary
+      payloads never serialize through Arrow twice. This relies on the
+      engine's data contract — (series key, order key) uniquely
+      identifies a row, e.g. (conv_id, turn_idx) — and is deterministic
+      under recomputation, unlike a synthetic monotonically_increasing_id
+      (whose values are partition-layout-dependent: the two sides of the
+      self-join may recompute the upstream plan with different physical
+      layouts and disagree on every id).
     """
     by_l, order_l = _as_list(by), _as_list(order)
     key_cols = set(by_l) | set(order_l) | set(in_cols)
@@ -79,10 +82,10 @@ def _apply_kernel(
 
         return df.groupBy(*by_l).applyInPandas(fn_pass, schema=out_schema)
 
-    with_id = df.withColumn(_ROW_ID, F.monotonically_increasing_id())
-    slim = with_id.select(_ROW_ID, *by_l, *order_l, *in_cols)
+    field_by_name = {f.name: f for f in df.schema}
+    slim = df.select(*by_l, *order_l, *in_cols)
     out_schema = TT.StructType(
-        [TT.StructField(_ROW_ID, TT.LongType())]
+        [field_by_name[c] for c in by_l + order_l]
         + [TT.StructField(n, TT._parse_datatype_string(t)) for n, t in out_fields]
     )
 
@@ -91,12 +94,12 @@ def _apply_kernel(
 
         pdf = pdf.sort_values(order_cols, kind="stable")
         res = kernel(pdf)
-        data = {_ROW_ID: pdf[_ROW_ID].to_numpy()}
+        data = {c: pdf[c].to_numpy() for c in by_l + order_l}
         data.update(res)
         return pd.DataFrame(data)
 
     res = slim.groupBy(*by_l).applyInPandas(fn, schema=out_schema)
-    return with_id.join(res, on=_ROW_ID, how="left").drop(_ROW_ID)
+    return df.join(res, on=by_l + order_l, how="left")
 
 
 def _series_kernel_1(value: str, spec: RollSpec, fn, out: str, **kw):

@@ -132,3 +132,45 @@ def test_weighted_lm_flat_matches_oracle(spark, grid_df, grid_pairs):
         assert_close(cols["lm_se_x"][variant], want["se_x"], f"wlm se {variant}")
         assert_close(cols["lm_se_intercept"][variant], want["se_intercept"],
                      f"wlm sei {variant}")
+
+
+def test_joinback_alignment_wide_frame_upstream_window(spark):
+    """Regression: the wide-frame join-back path must key on (by, order),
+    not a synthetic id. With an upstream WindowExec (lag) feeding the
+    Arrow op, monotonically_increasing_id values differed between the
+    two recomputations of the plan on either side of the join-back
+    self-join, landing every kernel output on the wrong row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from roll_spark.operators.base import ordered_window
+
+    rng = np.random.default_rng(7)
+    n, groups = 400, 8
+    pdf = pd.DataFrame(
+        {
+            "g": np.repeat([f"s{i}" for i in range(groups)], n // groups),
+            "i": np.tile(np.arange(n // groups), groups),
+            "x": rng.normal(size=n),
+            # wide payload column forces the join-back strategy
+            "payload": ["p" * 64] * n,
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "xlag", F.lag("x").over(ordered_window("g", "i"))
+    )
+    wts = _exp_weights(WIDTH)
+    out = (
+        roll_cov(df, "x", "xlag", "g", "i", WIDTH, weights=wts, min_obs=2, out="r")
+        .select("g", "i", "r")
+        .toPandas()
+        .sort_values(["g", "i"])
+    )
+    for g, sub in out.groupby("g"):
+        sub = sub.sort_values("i")
+        x = pdf[pdf.g == g].sort_values("i")["x"].to_numpy()
+        xl = np.concatenate([[np.nan], x[:-1]])
+        want = oracle.roll_cov(x, xl, WIDTH, weights=wts, min_obs=2)
+        got = sub["r"].to_numpy()
+        assert np.allclose(np.nan_to_num(got, nan=1e99),
+                           np.nan_to_num(want, nan=1e99), atol=1e-10), g
