@@ -101,15 +101,16 @@ def roll_lm(
     se_x = F.when(gate & (df_resid > 0), F.sqrt(var_resid / A))
 
     p = out_prefix
-    res = df.withColumn(p + "coef_x", beta).withColumn(p + "r2", r2).withColumn(
-        p + "se_x", se_x
-    )
+    # one withColumns call => ONE Window node: chained withColumn would give
+    # Catalyst a Project between each window expression, preventing window
+    # collapsing — the plan then re-evaluates all six rolling sums per output
+    # column (6 WindowExecs, ~5x redundant work over the same frame)
+    cols = {p + "coef_x": beta, p + "r2": r2, p + "se_x": se_x}
     if intercept:
         mean_x, mean_y = sx / n, sy / n
-        alpha = F.when(gate, mean_y - mean_x * beta)
-        se_a = F.when(
+        cols[p + "intercept"] = F.when(gate, mean_y - mean_x * beta)
+        cols[p + "se_intercept"] = F.when(
             gate & (df_resid > 0),
             F.sqrt(var_resid * (F.lit(1.0) / n + mean_x * mean_x / A)),
         )
-        res = res.withColumn(p + "intercept", alpha).withColumn(p + "se_intercept", se_a)
-    return res
+    return df.withColumns(cols)

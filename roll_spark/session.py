@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing with parallelismFirst uses minPartitionSize (1MB
+        # default) as the floor; window evaluation is CPU-dense (~seconds
+        # per MB), so a 1MB floor serializes small-scale runs onto 1-2
+        # cores. 64k keeps all cores busy at bench scale and is a no-op at
+        # cluster scale where shuffle partitions are >> 64MB anyway.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
