@@ -312,6 +312,25 @@ def q_roll_lm2_w20(spark, sf_dir):
     )
 
 
+def q_roll_cov_matrix_w10(spark, sf_dir):
+    """k=2 rolling covariance MATRIX per row (the reference's cube output
+    for matrix input); oracle checks every distinct entry via masked
+    var_samp/covar_samp."""
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_cov_matrix
+
+    df = roll_cov_matrix(
+        _with_lag(spark, sf_dir), ["value", "value_lag"], "user_id", "ts",
+        RollSpec(width=10, min_obs=5), out="m",
+    )
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("m")[0]).alias("vxx"),
+        _r6(F.col("m")[1]).alias("vxy"),
+        _r6(F.col("m")[3]).alias("vyy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -435,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_sum_wlin_w5": q_roll_sum_wlin_w5,
         "roll_mean_narestore_w10": q_roll_mean_narestore_w10,
         "roll_lm2_w20": q_roll_lm2_w20,
+        "roll_cov_matrix_w10": q_roll_cov_matrix_w10,
         "latency_roll_mean_w10": q_latency_roll_mean_w10,
         "tier_1m_stats": q_tier_1m_stats,
         "tier_1h_cascade": q_tier_1h_cascade,
@@ -900,6 +920,25 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + sqrt(var_resid * S22 / det), 6) AS se1,
               ROUND(1e-7 + sqrt(var_resid * S11 / det), 6) AS se2
             FROM h""",
+        "roll_cov_matrix_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS vl
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                CASE WHEN vl IS NOT NULL THEN value END AS x,
+                CASE WHEN value IS NOT NULL THEN vl END AS y
+              FROM t
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(x) OVER ({_W10}) >= 5
+                    THEN var_samp(x) OVER ({_W10}) END, 6) AS vxx,
+              ROUND(1e-7 + CASE WHEN count(x) OVER ({_W10}) >= 5
+                    THEN covar_samp(x, y) OVER ({_W10}) END, 6) AS vxy,
+              ROUND(1e-7 + CASE WHEN count(x) OVER ({_W10}) >= 5
+                    THEN var_samp(y) OVER ({_W10}) END, 6) AS vyy
+            FROM m""",
         "latency_roll_mean_w10": f"""
             WITH t AS (
               SELECT user_id, ts,

@@ -291,3 +291,33 @@ def roll_lm_k(
             .drop(p + "coef", p + "se")
         )
     return res
+
+
+def roll_cov_matrix(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    by: Cols,
+    order: Cols,
+    spec: RollSpec,
+    *,
+    scale: bool = False,
+    out: str = "roll_cov_matrix",
+) -> DataFrame:
+    """Rolling k x k covariance/correlation matrix per row, flattened
+    row-major into ``array<double>`` of length k*k (the reference's cube
+    slice per timestamp, inst/include/roll_attr.h:56-70). scale=True
+    gives the correlation matrix (reference roll_cor on matrix input)."""
+    weights = None if spec.weights is None else np.asarray(spec.weights)
+    x_cols = list(x_cols)
+
+    def kernel(pdf):
+        X = np.column_stack(
+            [pdf[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in x_cols]
+        )
+        cube = K.conv_cov_matrix(
+            X, spec.width, weights=weights, min_obs=spec.effective_min_obs,
+            center=spec.center, scale=scale,
+        ).reshape(len(X), -1)
+        return {out: [[None if np.isnan(v) else float(v) for v in row] for row in cube]}
+
+    return _apply_kernel(df, x_cols, by, order, [(out, "array<double>")], kernel)

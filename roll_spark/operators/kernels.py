@@ -409,3 +409,51 @@ def online_mean(x, width, weights=None, min_obs=None, na_restore=False,
             out[i] = sum_x / sum_w
     final_state = {"sum_w": sum_w, "sum_x": sum_x, "n_obs": n_obs, "hist": hist[-(width):]}
     return out, final_state
+
+
+def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=False):
+    """Rolling k x k covariance (or correlation) matrix per row — the
+    reference's cube output for matrix input (cube allocation
+    src/roll.cpp:1366; symmetric kernels roll_mat.h:3314-3659).
+
+    complete_obs=TRUE semantics (the reference default for cov/cor,
+    R/roll.R:712): a row with ANY missing column is excluded from every
+    pair's window. Computes the lower triangle only and mirrors — the
+    reference's own work-halving (src/roll.cpp:1425, roll_mat.h:4745).
+
+    Returns (n, k, k) float64 with NaN where gated; scale=True emits the
+    correlation matrix with the reference's raw-sumsq eps gates and
+    as-computed diagonal (roll_vec.h:3762-3773).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n, k = X.shape
+    min_obs = width if min_obs is None else min_obs
+    ok = ~np.isnan(X).any(axis=1)
+    okf = ok.astype(np.float64)
+    Xv = np.where(ok[:, None], X, 0.0)
+    h = _kernel(weights, width)
+    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+    sum_w = _rollconv(okf, h)
+    sumsq_w = _rollconv(okf, h * h)
+    sx = np.stack([_rollconv(Xv[:, j], h) for j in range(k)], axis=1)
+    ss = np.empty((n, k, k))
+    for j in range(k):
+        for l in range(j, k):  # lower triangle + mirror
+            c = _rollconv(Xv[:, j] * Xv[:, l], h)
+            ss[:, j, l] = c
+            ss[:, l, j] = c
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if center:
+            ss = ss - sx[:, :, None] * sx[:, None, :] / sum_w[:, None, None]
+        denom = (sum_w - sumsq_w / sum_w)[:, None, None]
+        gate = (n_obs > 1) & (n_obs >= min_obs)
+        if scale:
+            d = np.sqrt(np.einsum("ijj->ij", ss))
+            out = ss / (d[:, :, None] * d[:, None, :])
+            # eps gate on the raw centered sums of squares (roll_vec.h:4112)
+            bad = np.einsum("ijj->ij", ss) <= EPS
+            out[bad[:, :, None] | bad[:, None, :]] = np.nan
+        else:
+            out = ss / denom
+    out[~gate] = np.nan
+    return out

@@ -174,3 +174,58 @@ def test_joinback_alignment_wide_frame_upstream_window(spark):
         got = sub["r"].to_numpy()
         assert np.allclose(np.nan_to_num(got, nan=1e99),
                            np.nan_to_num(want, nan=1e99), atol=1e-10), g
+
+
+def test_cov_matrix_kernel_matches_pairwise_oracle():
+    """conv_cov_matrix (cube output) == per-pair oracle under
+    complete_obs row masking, cov and cor, weighted and unweighted."""
+    from roll_spark.operators.kernels import conv_cov_matrix
+
+    rng = np.random.default_rng(5640)
+    X = rng.normal(size=(40, 3))
+    X[rng.random(40) < 0.2, 1] = np.nan  # row-wise NAs in one column
+    ok = ~np.isnan(X).any(axis=1)
+    Xm = np.where(ok[:, None], X, np.nan)  # complete_obs mask
+    for wts in (None, _exp_weights(WIDTH)):
+        cube = conv_cov_matrix(X, WIDTH, weights=None if wts is None else np.asarray(wts),
+                               min_obs=2)
+        for j in range(3):
+            for l in range(3):
+                want = oracle.roll_cov(Xm[:, j], Xm[:, l], WIDTH,
+                                       weights=wts, min_obs=2)
+                assert_close(cube[:, j, l], want, f"covmat[{j},{l}] w={wts is not None}")
+        cor = conv_cov_matrix(X, WIDTH, weights=None if wts is None else np.asarray(wts),
+                              min_obs=2, scale=True)
+        for j in range(3):
+            for l in range(3):
+                want = oracle.roll_cor(Xm[:, j], Xm[:, l], WIDTH,
+                                       weights=wts, min_obs=2)
+                assert_close(cor[:, j, l], want, f"cormat[{j},{l}] w={wts is not None}")
+
+
+def test_roll_cov_matrix_spark(spark, grid_df):
+    """End-to-end cube op through applyInPandas: k=2 matrix entries equal
+    the scalar roll_cov/roll_var results under the same masking."""
+    from pyspark.sql import functions as F
+
+    from roll_spark.operators.arrow_ops import roll_cov_matrix
+
+    df = grid_df.withColumn("x2", F.col("x") * 0.5 + F.lit(1.0))
+    out = roll_cov_matrix(df, ["x", "x2"], "series_id", "i",
+                          RollSpec(width=WIDTH, min_obs=2), out="m")
+    pdf = out.select("series_id", "i", "m").toPandas().sort_values(["series_id", "i"])
+    for sid, sub in pdf.groupby("series_id"):
+        m = np.array([
+            [np.nan] * 4 if row is None else [np.nan if v is None else v for v in row]
+            for row in sub.sort_values("i")["m"]
+        ])
+        x = (
+            grid_df.filter(F.col("series_id") == sid).orderBy("i").toPandas()["x"]
+            .to_numpy(dtype=np.float64, na_value=np.nan)
+        )
+        x2 = x * 0.5 + 1.0
+        want_xx = oracle.roll_cov(x, x, WIDTH, min_obs=2)
+        want_xy = oracle.roll_cov(x, x2, WIDTH, min_obs=2)
+        assert_close(m[:, 0], want_xx, f"{sid} xx")
+        assert_close(m[:, 1], want_xy, f"{sid} xy")
+        assert_close(m[:, 2], want_xy, f"{sid} yx(mirror)")
