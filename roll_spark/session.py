@@ -40,9 +40,10 @@ def get_spark(
         # AQE coalescing with parallelismFirst uses minPartitionSize (1MB
         # default) as the floor; window evaluation is CPU-dense (~seconds
         # per MB), so a 1MB floor serializes small-scale runs onto 1-2
-        # cores. 64k keeps all cores busy at bench scale and is a no-op at
-        # cluster scale where shuffle partitions are >> 64MB anyway.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # cores, while a floor too low (64k) taxes join-heavy queries with
+        # task overhead. 256k balances both at bench scale and is a no-op
+        # at cluster scale where shuffle partitions are >> 64MB anyway.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
