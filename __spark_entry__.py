@@ -427,6 +427,18 @@ def q_lsh_ann_top5(spark, sf_dir):
     )
 
 
+def q_ivf_ann_top5(spark, sf_dir):
+    """IVF ANN (sampled k-means cells + n_probe; approximate by design ->
+    rows-only check; recall vs brute force asserted in pytest)."""
+    from roll_spark.datapipe.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=6).select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roll_mean_w10": q_roll_mean_w10,
@@ -470,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_neardup": q_simhash_neardup,
         "lsh_ann_top5": q_lsh_ann_top5,
+        "ivf_ann_top5": q_ivf_ann_top5,
     }
 
 

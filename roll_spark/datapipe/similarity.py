@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,6 +129,90 @@ def lsh_topk(
     cb = banded(emb, "neighbor_id", "cv")
     cand = (
         cb.join(F.broadcast(qb), ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def _fit_centroids(emb, vec, n_centroids, seed, sample_rows=50_000, iters=10):
+    """Mini k-means on a driver-side sample (spherical: cosine == dot on
+    normalized vectors). The sample is bounded, the model is tiny
+    (n_centroids x dim) and broadcast — corpus-size independent."""
+    pdf = (
+        emb.select(vec).limit(sample_rows).toPandas()[vec]
+    )
+    X = np.stack(pdf.to_numpy())
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    return C
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: partition the corpus into centroid cells (spherical
+    k-means fit on a bounded sample), assign each corpus vector to its
+    nearest cell with a vectorized Arrow UDF, probe each query's
+    ``n_probe`` nearest cells, and exact-rerank only within probed
+    cells. At 10^10 vectors the scan is one pass + a join keyed on
+    cell id — the classic FAISS-IVF shape re-expressed as DataFrame ops.
+    """
+    from pyspark.sql import types as TT
+    from pyspark.sql.functions import pandas_udf
+
+    C = _fit_centroids(emb, vec, n_centroids, seed)
+    Cb = C  # captured in the UDF closure -> shipped once per executor
+
+    @pandas_udf(TT.IntegerType())
+    def cell_of(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(X @ Cb.T, axis=1).astype(np.int32))
+
+    @pandas_udf(TT.ArrayType(TT.IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ Cb.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("cv")
+    ).withColumn("cell", cell_of(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec).alias("qv")
+    ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    cand = (
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()

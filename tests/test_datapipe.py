@@ -156,3 +156,18 @@ def test_multimodal_plumbing(spark):
     assert plan.count() >= vids
     with pytest.raises(NotImplementedError):
         extract_features(media, decoder="real")
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF ANN (sampled spherical k-means cells + n_probe search):
+    top-1 recall vs brute force; with n_probe covering a good share of
+    the 16 cells, recall should be near-exact on this corpus."""
+    from roll_spark.datapipe.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {r["query_id"]: r["neighbor_id"] for r in
+             brute_topk(emb, queries, k=1, round_digits=None).collect()}
+    approx = {r["query_id"]: r["neighbor_id"] for r in
+              ivf_topk(emb, queries, k=1, n_centroids=16, n_probe=6).collect()}
+    hits = sum(1 for q, n in brute.items() if approx.get(q) == n)
+    assert hits / len(brute) >= 0.7, f"top-1 recall {hits}/{len(brute)}"
