@@ -139,3 +139,23 @@ def test_checkpoint_resume_bit_identical(spark, tdf, tmp_path):
     # changed params -> stale checkpoint must NOT be served
     stale = pipe3.is_complete("tier_1d", {"tier": "1d", "from": "SOMETHING_ELSE"})
     assert not stale
+
+
+def test_table_source_resolution(spark, tmp_path):
+    """read_table resolves parquet paths and errors clearly on iceberg:
+    refs without the runtime jar; write_tier partitions + sorts."""
+    import pytest as _pytest
+
+    from roll_spark.sources.iceberg import has_iceberg, read_table, write_tier
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id", "id % 7 AS g", "CAST(id AS DOUBLE) v").write.parquet(p)
+    df = read_table(spark, p)
+    assert df.count() == 100
+    assert not has_iceberg(spark)
+    with _pytest.raises(RuntimeError, match="Iceberg runtime"):
+        read_table(spark, "iceberg:roll.db.transcripts")
+    out = str(tmp_path / "tier_out")
+    write_tier(df, out, partition_by=["g"], sort_within=["g", "id"])
+    back = spark.read.parquet(out)
+    assert back.count() == 100 and "g" in back.columns
