@@ -1,0 +1,90 @@
+"""Physical-plan audit: verify every headline query compiles to the
+plan shape we designed for 100 TB, not just one that happens to pass.
+
+For each query: count Exchanges / Sorts / Window nodes, check broadcast
+joins where a small side exists, and confirm column pruning reached the
+parquet scan (ReadSchema carries only needed columns). Exits non-zero
+if any assertion fails — run it after touching any operator.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# query -> (max exchanges, max sorts, expect broadcast, max scan columns)
+# window ops: ONE hash exchange + ONE sort is the contract; tier rollups
+# add partial-agg exchanges; join queries get a looser bound but must
+# broadcast their small side.
+EXPECT = {
+    "roll_mean_w10": dict(max_exchange=1, max_sort=1),
+    "roll_var_w10": dict(max_exchange=1, max_sort=1),
+    "roll_median_w5": dict(max_exchange=1, max_sort=1),
+    "roll_idxmax_w10": dict(max_exchange=1, max_sort=1),
+    "roll_cov_w10": dict(max_exchange=1, max_sort=1),
+    "roll_lm_w20": dict(max_exchange=1, max_sort=1, max_window=2),
+    "expanding_mean": dict(max_exchange=1, max_sort=1),
+    "roll_mean_exp_w10": dict(max_exchange=1),       # Arrow path: one groupBy
+    "roll_cov_matrix_w10": dict(max_exchange=3),     # window(lag) + groupBy + join-back
+    "tier_1m_stats": dict(max_exchange=1, max_sort=0),
+    "tier_1h_cascade": dict(max_exchange=2, max_sort=0),  # raw->1m, 1m->1h
+    "tier_1d_cascade": dict(max_exchange=3, max_sort=0),
+    "ann_brute_top5": dict(expect_broadcast=True),
+    "lsh_ann_top5": dict(expect_broadcast=True),
+    "dedup_exact": dict(max_exchange=1, max_sort=0),
+}
+
+
+def audit(name: str, df, rules: dict) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+    n_sort = len(re.findall(r"\bSort \[", plan))
+    n_win = len(re.findall(r"\bWindow ", plan))
+    has_bcast = "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or \
+        "BroadcastNestedLoopJoin" in plan
+    errs = []
+    if "max_exchange" in rules and n_ex > rules["max_exchange"]:
+        errs.append(f"{n_ex} shuffle exchanges (budget {rules['max_exchange']})")
+    if "max_sort" in rules and n_sort > rules["max_sort"]:
+        errs.append(f"{n_sort} sorts (budget {rules['max_sort']})")
+    if "max_window" in rules and n_win > rules["max_window"]:
+        errs.append(f"{n_win} Window nodes (budget {rules['max_window']})")
+    if rules.get("expect_broadcast") and not has_bcast:
+        errs.append("no broadcast join found (small side should broadcast)")
+    # column pruning: events scans must not read props/event_type unless used
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\].*?ReadSchema", plan):
+        cols = m.group(1)
+        if "events" not in plan:
+            continue
+        if "props" in cols and "props" not in name:
+            errs.append(f"scan reads pruned-out column props: [{cols}]")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+    from roll_spark.session import get_spark
+
+    spark = get_spark(cpus=8, app_name="plan_audit")
+    qs = entry.queries()
+    failures = 0
+    for name, rules in EXPECT.items():
+        df = qs[name](spark, sf_dir)
+        errs = audit(name, df, rules)
+        if errs:
+            failures += 1
+            print(f"FAIL  {name}: " + "; ".join(errs))
+        else:
+            print(f"OK    {name}")
+    print(f"\n{failures} plan violations")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
