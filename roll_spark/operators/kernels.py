@@ -209,27 +209,11 @@ def conv_prod(x, width, weights=None, min_obs=None, na_restore=False):
     return _restore(out, x, na_restore)
 
 
-def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
-    """Exact weighted HF2-style quantile (roll_vec.h:1956-2095), vectorized
-    with a strided sliding window + per-row top-down weight scan.
-
-    Equal-weight fast path uses sorted windows and the closed-form order
-    statistic; weighted path materializes (width)-wide windows and runs
-    the scan across rows simultaneously via cumulative sums.
-    """
-    min_obs = width if min_obs is None else min_obs
-    x = np.asarray(x, dtype=np.float64)
-    n = len(x)
-    out = np.full(n, np.nan)
-    if n == 0:
-        return out
-    pp = 1.0 - p
-    wts_full = _kernel(weights, width)[::-1]  # oldest-first slot weights
-    # pad front so every row has a width-window; pads are NaN (excluded)
-    pad = np.full(width - 1, np.nan)
-    xp = np.concatenate([pad, x])
-    wins = np.lib.stride_tricks.sliding_window_view(xp, width)  # (n, width)
-    # per-slot weights: slot j (0=oldest) weight wts_full[j]
+def _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs):
+    """HF2 scan for output rows [b0, b1): sort each width-window, walk the
+    sorted slot weights from the top until mass >= 1-p (roll_vec.h:1994-2091)."""
+    m = b1 - b0
+    wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
     wmat = np.broadcast_to(wts_full, wins.shape)
     okm = ~np.isnan(wins)
     n_obs = okm.sum(axis=1)
@@ -249,11 +233,10 @@ def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
     # only observed slots participate in the scan (NaNs sort to the top
     # with zero weight and must never be selected)
     cond = (mass >= pp) & ~np.isnan(sv)
-    # index of last True along axis 1
     last_true = width - 1 - np.argmax(cond[:, ::-1], axis=1)
     has_true = cond.any(axis=1)
     k = np.where(has_true, last_true, 0)
-    rows = np.arange(n)
+    rows = np.arange(m)
     val_hi = sv[rows, k]
     mass_k = mass[rows, k]
     exact = np.abs(mass_k - pp) <= SQRT_EPS
@@ -261,7 +244,34 @@ def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
     val_lo = sv[rows, k_lo]
     lo_valid = (k - 1 >= 0) & ~np.isnan(val_lo)
     q = np.where(exact & lo_valid, (val_hi + val_lo) / 2.0, val_hi)
-    out = np.where((n_obs >= max(min_obs, 1)), q, np.nan)
+    return np.where(n_obs >= max(min_obs, 1), q, np.nan)
+
+
+def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
+    """Exact weighted HF2-style quantile (roll_vec.h:1956-2095), vectorized
+    with a strided sliding window + per-row top-down weight scan.
+
+    Memory-bounded: the scan materializes several (rows x width) float64
+    intermediates, so rows are processed in blocks sized to keep peak
+    memory ~O(256MB) regardless of series length x width — a skewed
+    10^6-row conversation at width 10^3 would otherwise allocate ~50 GB
+    in one shot. Per-row outputs are independent, so blocking is exact.
+    """
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    pp = 1.0 - p
+    wts_full = _kernel(weights, width)[::-1]  # oldest-first slot weights
+    # pad front so every row has a width-window; pads are NaN (excluded)
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, x])
+    block = max(1024, (4 << 20) // max(width, 1))  # ~6 arrays x block x width x 8B
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        out[b0:b1] = _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs)
     return _restore(out, x, na_restore)
 
 
