@@ -352,6 +352,15 @@ def q_doc_token_stats(spark, sf_dir):
                       _r6("avg_token_len").alias("avg_token_len"))
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    from roll_spark.datapipe.text import bpe_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_token_stats(docs, "text", "doc_id")
+    return out.select("doc_id", "ws_tokens", "bpe_tokens",
+                      _r6("bpe_per_ws").alias("bpe_per_ws"))
+
+
 def q_doc_quality(spark, sf_dir):
     from roll_spark.datapipe.text import quality_score
 
@@ -474,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -560,6 +570,21 @@ def _datapipe_oracles() -> dict[str, str]:
                          (length(text) - length(replace(text, ' ', '')) + 1)
               END, 6) AS avg_token_len
             FROM documents""",
+        "doc_bpe_tokens": """
+            WITH f AS (
+              SELECT doc_id, length(text) AS n,
+                CASE WHEN length(text) = 0 THEN 0
+                     ELSE length(text) - length(replace(text, ' ', '')) + 1
+                END AS ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                  AS bpe_tokens
+              FROM documents
+            )
+            SELECT doc_id, ws_tokens, CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+              ROUND(1e-7 + CASE WHEN ws_tokens > 0
+                    THEN bpe_tokens::DOUBLE / ws_tokens ELSE 0.0 END, 6)
+                AS bpe_per_ws
+            FROM f""",
         "doc_quality": """
             WITH f AS (
               SELECT doc_id, length(text) AS n,

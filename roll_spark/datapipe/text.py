@@ -89,3 +89,28 @@ def fingerprint(df: DataFrame, text: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.xxhash64(F.col(text), F.length(F.col(text))).alias("fingerprint"),
     )
+
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """BPE-ish token count: alphabetic runs, digit runs, and single
+    non-alphanumeric marks each count as one token — the pre-merge
+    word-split shape of GPT-style BPE tokenizers, as a countable regex
+    identical in Spark and DuckDB (no lookaheads, no \\s dialects)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def bpe_token_stats(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Per-doc whitespace vs BPE-ish token counts + their ratio (a cheap
+    tokenizer-cost estimator for training-data budgeting)."""
+    t = F.col(text)
+    ws = token_count_expr(t)
+    bpe = bpe_token_count_expr(t)
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.when(ws > 0, bpe.cast("double") / ws).otherwise(F.lit(0.0)).alias("bpe_per_ws"),
+    )

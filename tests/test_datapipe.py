@@ -171,3 +171,16 @@ def test_ivf_topk_recall(spark, emb):
               ivf_topk(emb, queries, k=1, n_centroids=16, n_probe=6).collect()}
     hits = sum(1 for q, n in brute.items() if approx.get(q) == n)
     assert hits / len(brute) >= 0.7, f"top-1 recall {hits}/{len(brute)}"
+
+
+def test_bpe_token_stats_matches_python(spark, docs):
+    import re
+
+    from roll_spark.datapipe.text import BPE_ISH_PATTERN, bpe_token_stats
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    got = bpe_token_stats(docs, "text", "doc_id").toPandas().set_index("doc_id")
+    pat = re.compile(BPE_ISH_PATTERN)
+    for _, row in pdf.iterrows():
+        want = len(pat.findall(row["text"]))
+        assert got.loc[row["doc_id"], "bpe_tokens"] == want, row["doc_id"]
