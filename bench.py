@@ -279,7 +279,7 @@ def write_bench_md(timings, total, scaling):
             "## Scaling (north_rule: efficiency >= 0.8 from N to 4N)",
             "",
             "No real cluster in this sandbox: the SAME flagship rollup job",
-            "(exact weighted HF2 rolling median w=200 via the Arrow kernel",
+            "(exact weighted HF2 rolling median w=400 via the Arrow kernel",
             "path + the raw->1m->1h->1d cascade over a deterministic",
             f"{scaling['rows']:,}-row synthetic transcripts series) runs in",
             f"fresh subprocesses at local[{n}] and local[{n4}].",
