@@ -312,6 +312,35 @@ def q_roll_lm2_w20(spark, sf_dir):
     )
 
 
+def q_roll_quantile_exp_w10(spark, sf_dir):
+    """Exact WEIGHTED HF2 quantile (p=0.5, exp decay) — the flagship
+    scaling workload's operator, oracle-checked via a sorted
+    (value, slot-weight) top-down mass scan in SQL."""
+    df = roll_quantile(_events(spark, sf_dir), "value", "user_id", "ts", 10, 0.5,
+                       min_obs=1, weights=_EXP10, out="s")
+    return df.select("user_id", "ts", F.round(F.col("s") + 1e-5, 4).alias("wq50"))
+
+
+def q_roll_mean_chunked_w10(spark, sf_dir):
+    """Skew path: overlap-padded chunked evaluation (chunk_rows=25) must
+    equal the plain rolling mean — same oracle as roll_mean_w10."""
+    from roll_spark.operators.chunked import roll_chunked
+
+    df = roll_chunked(_events(spark, sf_dir), roll_mean, "value", "user_id", "ts",
+                      10, chunk_rows=25, out="s", min_obs=5)
+    return _sel(df, "s", "cmean10")
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    stats = T.finalize(T.rollup_raw(_events(spark, sf_dir), "value", "ts", "user_id", "1h"))
+    filled = T.gapfill(stats, "user_id", "1h", value="mean_x", method="linear")
+    return filled.select(
+        "user_id", F.col("bucket_ts"),
+        _r6("mean_x_filled").alias("lin_mean"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
+
+
 def q_roll_cov_matrix_w10(spark, sf_dir):
     """k=2 rolling covariance MATRIX per row (the reference's cube output
     for matrix input); oracle checks every distinct entry via masked
@@ -476,6 +505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_mean_narestore_w10": q_roll_mean_narestore_w10,
         "roll_lm2_w20": q_roll_lm2_w20,
         "roll_cov_matrix_w10": q_roll_cov_matrix_w10,
+        "roll_quantile_exp_w10": q_roll_quantile_exp_w10,
+        "roll_mean_chunked_w10": q_roll_mean_chunked_w10,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
         "latency_roll_mean_w10": q_latency_roll_mean_w10,
         "tier_1m_stats": q_tier_1m_stats,
         "tier_1h_cascade": q_tier_1h_cascade,
@@ -958,6 +990,76 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + sqrt(var_resid * S22 / det), 6) AS se1,
               ROUND(1e-7 + sqrt(var_resid * S11 / det), 6) AS se2
             FROM h""",
+        "roll_quantile_exp_w10": f"""
+            WITH win AS (
+              SELECT user_id, ts, list(value) OVER ({_W10}) AS l FROM events
+            ), s AS (SELECT user_id, ts, l, len(l) AS n FROM win
+            ), p AS (
+              SELECT user_id, ts, n,
+                list_sort([struct_pack(v := l[i], w := pow(0.9, n - i))
+                           FOR i IN range(1, n + 1)]) AS sl
+              FROM s
+            ), m AS (
+              SELECT user_id, ts, n, sl,
+                list_sum([x.w FOR x IN sl]) AS total,
+                [list_sum([sl[j].w FOR j IN range(i, n + 1)])
+                 FOR i IN range(1, n + 1)] AS cumtop
+              FROM p
+            ), q AS (
+              SELECT user_id, ts, n, sl, total, cumtop,
+                len([c FOR c IN cumtop IF c / total >= 0.5]) AS K
+              FROM m
+            )
+            SELECT user_id, ts,
+              ROUND(1e-5 + CASE
+                WHEN abs(cumtop[K] / total - 0.5) <= 1.4901161193847656e-08
+                     AND K > 1
+                  THEN (sl[K].v + sl[K - 1].v) / 2.0
+                ELSE sl[K].v END, 4) AS wq50
+            FROM q""",
+        "roll_mean_chunked_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                    THEN avg(value) OVER ({_W10}) END, 6) AS cmean10
+            FROM events""",
+        "gapfill_linear_1h": """
+            WITH stats AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS mean_x
+              FROM events GROUP BY 1, 2
+            ), grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+              FROM (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+                    FROM stats GROUP BY 1)
+            ), j AS (
+              SELECT g.user_id, g.bucket_ts, s.mean_x
+              FROM grid g LEFT JOIN stats s
+                ON g.user_id = s.user_id AND g.bucket_ts = s.bucket_ts
+            ), k AS (
+              SELECT user_id, bucket_ts, mean_x,
+                last_value(mean_x IGNORE NULLS) OVER w_up AS prev_v,
+                first_value(mean_x IGNORE NULLS) OVER w_down AS next_v,
+                last_value(CASE WHEN mean_x IS NOT NULL
+                           THEN epoch(bucket_ts) END IGNORE NULLS)
+                  OVER w_up AS prev_t,
+                first_value(CASE WHEN mean_x IS NOT NULL
+                            THEN epoch(bucket_ts) END IGNORE NULLS)
+                  OVER w_down AS next_t
+              FROM j
+              WINDOW w_up AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_down AS (PARTITION BY user_id ORDER BY bucket_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, bucket_ts,
+              ROUND(1e-7 + CASE WHEN mean_x IS NOT NULL THEN mean_x
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                  prev_v + (next_v - prev_v) *
+                    (CASE WHEN next_t != prev_t
+                          THEN (epoch(bucket_ts) - prev_t) / (next_t - prev_t)
+                          ELSE 0.0 END)
+                ELSE prev_v END, 6) AS lin_mean,
+              CAST(mean_x IS NULL AS INT) AS is_gap
+            FROM k""",
         "roll_cov_matrix_w10": f"""
             WITH t AS (
               SELECT user_id, ts, value,
