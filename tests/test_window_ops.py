@@ -149,3 +149,28 @@ def test_expanding_is_width_n(spark, grid_df, grid_series):
         )
         assert_close(got, want, f"expanding {variant}")
         assert_close(got, exp, f"expanding-direct {variant}")
+
+
+def test_chained_ops_collapse_to_one_window_exec(spark, grid_df):
+    """Multi-statistic pipelines over the same (series, order) must stay
+    ONE Exchange + ONE Sort + ONE WindowExec regardless of how many ops
+    or frame widths are chained — the property that makes a 50-column
+    feature sweep cost the same single shuffle as one column at 100 TB.
+    (Catalyst CollapseWindow merges adjacent same-spec Window nodes; our
+    operators are written to keep the projections adjacent.)"""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from roll_spark import roll_max, roll_mean, roll_min, roll_sum, roll_var
+
+    df = grid_df.withColumn("x2", F.col("x") * 2)
+    df = roll_mean(df, "x", "series_id", "i", 5, out="m")
+    df = roll_var(df, "x", "series_id", "i", 5, out="v")
+    df = roll_min(df, "x2", "series_id", "i", 5, out="lo")
+    df = roll_max(df, "x2", "series_id", "i", 5, out="hi")
+    df = roll_sum(df, "x", "series_id", "i", 10, out="s10")  # different frame
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hash", plan)) == 1, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    assert len(re.findall(r"\bWindow ", plan)) == 1, plan
