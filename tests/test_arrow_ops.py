@@ -229,3 +229,28 @@ def test_roll_cov_matrix_spark(spark, grid_df):
         assert_close(m[:, 0], want_xx, f"{sid} xx")
         assert_close(m[:, 1], want_xy, f"{sid} xy")
         assert_close(m[:, 2], want_xy, f"{sid} yx(mirror)")
+
+
+def test_per_turn_text_equality_through_arrow_pipeline(spark):
+    """BASELINE invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering after a full weighted pipeline over the
+    raw transcripts frame (wide -> join-back path, where a row-alignment
+    bug would corrupt exactly this)."""
+    from roll_spark.sources.transcripts import derive_series, generate_transcripts
+
+    tdf = derive_series(generate_transcripts(spark, n_convs=10, median_turns=25))
+    out = roll_mean(tdf, "text_len", "conv_id", "turn_idx", WIDTH,
+                    weights=_exp_weights(WIDTH), min_obs=1, out="m")
+    out = roll_var(out, "latency_s", "conv_id", "turn_idx", WIDTH,
+                   weights=_exp_weights(WIDTH), min_obs=2, out="v")
+    orig = {(r[0], r[1]): r[2] for r in
+            tdf.select("conv_id", "turn_idx", "text").collect()}
+    after_rows = out.orderBy("conv_id", "turn_idx").select(
+        "conv_id", "turn_idx", "text").collect()
+    after = {(r[0], r[1]): r[2] for r in after_rows}
+    assert orig == after
+    # stable ordering: sorted output enumerates each conv's turns densely
+    seen = {}
+    for r in after_rows:
+        seen.setdefault(r[0], []).append(r[1])
+    assert all(v == sorted(v) == list(range(len(v))) for v in seen.values())
