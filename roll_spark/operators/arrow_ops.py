@@ -197,9 +197,20 @@ def roll_scale(df, value, by, order, spec: RollSpec, *, out="roll_scale"):
             mean = s.sum_wx / s.sum_w
             centered = x_last - mean if spec.center else x_last
             if spec.scale:
-                v_raw = (s.sum_wx2() - s.sum_wx * s.sum_wx / s.sum_w) if spec.center else s.sum_wx2()
-                v = v_raw / (s.sum_w - s.sumsq_w() / s.sum_w)
-                res = np.where((s.n_obs > 1) & (v > K.EPS), centered / np.sqrt(v), np.nan)
+                if spec.center:
+                    # exact two-pass centered sum of squares (no
+                    # cancellation; see kernels._pair_window_moments)
+                    n_obs, sum_w, sumsq_w, ss, _, _ = K._pair_window_moments(
+                        x, None, width, weights
+                    )
+                else:
+                    n_obs, sum_w, sumsq_w, ss = (
+                        s.n_obs, s.sum_w, s.sumsq_w(), s.sum_wx2()
+                    )
+                v = ss / (sum_w - sumsq_w / sum_w)
+                res = np.where(
+                    (s.n_obs > 1) & (v > K.EPS), centered / np.sqrt(v), np.nan
+                )
             else:
                 res = centered
             out_arr = np.where(s.n_obs >= min_obs, res, np.nan)

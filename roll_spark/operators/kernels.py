@@ -93,21 +93,128 @@ def conv_mean(x, width, weights=None, min_obs=None, na_restore=False):
     return _restore(out, s.x, na_restore)
 
 
+def _rel_eps(raw_mag):
+    """Clamp/gate tolerance scaled to the uncentered moment magnitude.
+
+    The reference accumulates in long double, so its cancellation error on
+    a constant window lands inside the ABSOLUTE eps clamp
+    (roll_vec.h:410-415, :2275). Our float64 convolution's cancellation
+    error is ~eps * |sum w x^2| instead; scaling the tolerance by that
+    magnitude reproduces the reference's clamp/gate decisions (constant
+    window -> var 0, cor NA) for data of any scale. max(1, .) keeps the
+    absolute eps floor for small-magnitude data; the 8x factor covers the
+    few-ulp accumulation of the convolution (observed up to ~1.1 ulp on a
+    2-slot window; long windows accumulate more)."""
+    return 8.0 * EPS * np.maximum(1.0, np.abs(raw_mag))
+
+
+def _shift(x):
+    """Series-constant shift for centered-moment kernels.
+
+    Centered moments are invariant under x -> x - c for ANY constant c,
+    but the uncentered-moment identity sum(w x^2) - (sum w x)^2/sum_w
+    loses ~eps * mean^2/var relative precision to cancellation; shifting
+    by the series mean makes mean^2 ~ var so the loss is O(eps). This is
+    how the float64 convolution path matches the reference's long-double
+    accumulators (roll_vec.h:410-415) to ~1e-15 relative on any data
+    scale. NOT applied to raw/uncentered outputs (crossprod, center=False
+    paths), which are origin-dependent."""
+    x = np.asarray(x, dtype=np.float64)
+    ok = ~np.isnan(x)
+    c = float(x[ok].mean()) if ok.any() else 0.0
+    return x - c, c
+
+
+def _win_block(width: int) -> int:
+    """Row-block size for strided-window kernels: block x width x 8B ~ 1MB
+    keeps the handful of working arrays inside L2/L3 so concurrent
+    workers don't contend for DRAM bandwidth (measured: series-sized
+    blocks were ~45% slower per group and capped multi-core scaling)."""
+    return min(max(131072 // max(width, 1), 128), 8192)
+
+
+def _pair_window_moments(x, y, width, weights):
+    """Exact two-pass weighted (co)moments over every trailing window.
+
+    Yields per row: n_obs, sum_w, sumsq_w, ssx, ssy, ssxy where
+    ss* = sum(w (a - mu_a)(b - mu_b)) with mu the window's own weighted
+    mean — computed directly per window (strided view, row-blocked), so
+    there is NO uncentered-moment cancellation: constant windows give
+    exactly 0, any data scale gives ~eps relative error. This is the
+    float64 equivalent of the reference's long-double accumulators
+    (roll_vec.h:410-415); the one-pass recursions remain in online_*.
+    Pass y=None for single-series moments (ssy/ssxy then equal ssx).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    two = y is not None
+    if two:
+        y = np.asarray(y, dtype=np.float64)
+        ok = ~np.isnan(x) & ~np.isnan(y)
+    else:
+        ok = ~np.isnan(x)
+    n = len(x)
+    wts = _kernel(weights, width)[::-1]  # oldest-first slot weights
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, np.where(ok, x, np.nan)])
+    yp = np.concatenate([pad, np.where(ok, y, np.nan)]) if two else None
+    n_obs = np.empty(n, dtype=np.int64)
+    sum_w = np.empty(n)
+    sumsq_w = np.empty(n)
+    ssx = np.empty(n)
+    ssy = np.empty(n)
+    ssxy = np.empty(n)
+    block = _win_block(width)
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        wx = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
+        okm = ~np.isnan(wx)
+        sw = np.where(okm, wts, 0.0)
+        swsum = sw.sum(axis=1)
+        n_obs[b0:b1] = okm.sum(axis=1)
+        sum_w[b0:b1] = swsum
+        sumsq_w[b0:b1] = (sw * sw).sum(axis=1)
+        xv = np.where(okm, wx, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mux = (sw * xv).sum(axis=1) / swsum
+        dx = np.where(okm, wx - mux[:, None], 0.0)
+        ssx[b0:b1] = (sw * dx * dx).sum(axis=1)
+        if two:
+            wy = np.lib.stride_tricks.sliding_window_view(
+                yp[b0 : b1 + width - 1], width
+            )
+            yv = np.where(okm, wy, 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                muy = (sw * yv).sum(axis=1) / swsum
+            dy = np.where(okm, wy - muy[:, None], 0.0)
+            ssy[b0:b1] = (sw * dy * dy).sum(axis=1)
+            ssxy[b0:b1] = (sw * dx * dy).sum(axis=1)
+    if not two:
+        ssy = ssx
+        ssxy = ssx
+    return n_obs, sum_w, sumsq_w, ssx, ssy, ssxy
+
+
 def conv_var(x, width, weights=None, min_obs=None, na_restore=False, center=True):
-    """Unbiased weighted variance via uncentered moments:
-    sumsq_centered = sum(w x^2) - (sum w x)^2 / sum w; denominator
-    sum_w - sumsq_w/sum_w; reference eps clamps (roll_vec.h:2404)."""
+    """Unbiased weighted variance: exact per-window two-pass centered sum
+    of squares over the unbiased denominator sum_w - sumsq_w/sum_w, with
+    the reference eps clamp (roll_vec.h:2404). The two-pass makes the
+    centered sum exactly non-negative, so the negative-clamp branch of
+    the reference is unreachable here by construction."""
     min_obs = width if min_obs is None else min_obs
-    s = WindowSums(x, width, weights)
+    x = np.asarray(x, dtype=np.float64)
+    if center:
+        n_obs, sum_w, sumsq_w, ss, _, _ = _pair_window_moments(x, None, width, weights)
+    else:
+        s = WindowSums(x, width, weights)
+        n_obs, sum_w, sumsq_w, ss = s.n_obs, s.sum_w, s.sumsq_w(), s.sum_wx2()
     with np.errstate(invalid="ignore", divide="ignore"):
-        if center:
-            ss = s.sum_wx2() - s.sum_wx * s.sum_wx / s.sum_w
-        else:
-            ss = s.sum_wx2()
-        v = ss / (s.sum_w - s.sumsq_w() / s.sum_w)
-        out = np.where((s.n_obs > 1) & (s.n_obs >= min_obs), v, np.nan)
-    out = np.where(out > EPS, out, np.where(out > -EPS, np.where(np.isnan(out), np.nan, 0.0), np.nan))
-    return _restore(out, s.x, na_restore)
+        v = ss / (sum_w - sumsq_w / sum_w)
+        out = np.where((n_obs > 1) & (n_obs >= min_obs), v, np.nan)
+        out = np.where(
+            out > EPS, out,
+            np.where(out > -EPS, np.where(np.isnan(out), np.nan, 0.0), np.nan),
+        )
+    return _restore(out, x, na_restore)
 
 
 def conv_sd(x, width, weights=None, min_obs=None, na_restore=False, center=True):
@@ -115,52 +222,40 @@ def conv_sd(x, width, weights=None, min_obs=None, na_restore=False, center=True)
 
 
 def conv_cov(x, y, width, weights=None, min_obs=None, na_restore=False, center=True):
-    """Pairwise-complete weighted covariance (roll_vec.h:3969-4152)."""
+    """Pairwise-complete weighted covariance (roll_vec.h:3969-4152) via
+    the exact per-window two-pass co-moment (no cancellation)."""
     min_obs = width if min_obs is None else min_obs
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    both = ~np.isnan(x) & ~np.isnan(y)
-    xv = np.where(both, x, 0.0)
-    yv = np.where(both, y, 0.0)
-    okf = both.astype(np.float64)
-    h = _kernel(weights, width)
-    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
-    sum_w = _rollconv(okf, h)
-    sumsq_w = _rollconv(okf, h * h)
-    sx = _rollconv(xv, h)
-    sy = _rollconv(yv, h)
-    sxy = _rollconv(xv * yv, h)
+    if center:
+        n_obs, sum_w, sumsq_w, _, _, ss = _pair_window_moments(x, y, width, weights)
+    else:
+        both = ~np.isnan(x) & ~np.isnan(y)
+        okf = both.astype(np.float64)
+        h = _kernel(weights, width)
+        n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+        sum_w = _rollconv(okf, h)
+        sumsq_w = _rollconv(okf, h * h)
+        ss = _rollconv(np.where(both, x * y, 0.0), h)
     with np.errstate(invalid="ignore", divide="ignore"):
-        if center:
-            ss = sxy - sx * sy / sum_w
-        else:
-            ss = sxy
-        out = np.where((n_obs > 1) & (n_obs >= min_obs), ss / (sum_w - sumsq_w / sum_w), np.nan)
+        out = np.where(
+            (n_obs > 1) & (n_obs >= min_obs), ss / (sum_w - sumsq_w / sum_w), np.nan
+        )
     if na_restore:
         out = np.where(np.isnan(x) | np.isnan(y), np.nan, out)
     return out
 
 
 def conv_cor(x, y, width, weights=None, min_obs=None, na_restore=False):
-    """Scaled covariance with raw-sumsq eps gates (roll_vec.h:4112-4125)."""
+    """Scaled covariance with the reference's raw-sumsq eps gates
+    (roll_vec.h:4112-4125). Two-pass centered sums are exact, so a
+    constant window yields ss == 0 and gates to NULL with the plain
+    absolute eps, exactly like the reference."""
     min_obs = width if min_obs is None else min_obs
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    both = ~np.isnan(x) & ~np.isnan(y)
-    xv = np.where(both, x, 0.0)
-    yv = np.where(both, y, 0.0)
-    okf = both.astype(np.float64)
-    h = _kernel(weights, width)
-    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
-    sum_w = _rollconv(okf, h)
-    sx, sy = _rollconv(xv, h), _rollconv(yv, h)
-    sxx = _rollconv(xv * xv, h)
-    syy = _rollconv(yv * yv, h)
-    sxy = _rollconv(xv * yv, h)
+    n_obs, sum_w, _, ssx, ssy, ssxy = _pair_window_moments(x, y, width, weights)
     with np.errstate(invalid="ignore", divide="ignore"):
-        ssx = sxx - sx * sx / sum_w
-        ssy = syy - sy * sy / sum_w
-        ssxy = sxy - sx * sy / sum_w
         out = np.where(
             (n_obs > 1) & (n_obs >= min_obs) & (ssx > EPS) & (ssy > EPS),
             ssxy / (np.sqrt(ssx) * np.sqrt(ssy)),
@@ -297,6 +392,15 @@ def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):
     df_fit = k + 1 if intercept else k
     ok = ~np.isnan(X).any(axis=1) & ~np.isnan(y)
     okf = ok.astype(np.float64)
+    # mean-shift regressors and response when fitting an intercept: the
+    # centered normal-equation moments are shift-invariant but float64
+    # cancellation is not (see _shift); original means are restored below
+    # for the intercept and its standard error.
+    if intercept:
+        cx = X[ok].mean(axis=0) if ok.any() else np.zeros(k)
+        cy = float(y[ok].mean()) if ok.any() else 0.0
+        X = X - cx[None, :]
+        y = y - cy
     Xv = np.where(ok[:, None], X, 0.0)
     yv = np.where(ok, y, 0.0)
     h = _kernel(weights, width)
@@ -319,8 +423,9 @@ def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):
         # normal equations use sum(w (x-mx)(x-mx)) undivided — that's what
         # makes se equal stats::lm's
         if intercept:
-            mx = sx / sum_w[:, None]
-            my = sy / sum_w
+            # original-scale means (shifted mean + shift constant)
+            mx = sx / sum_w[:, None] + cx[None, :]
+            my = sy / sum_w + cy
             A = sxx - sx[:, :, None] * sx[:, None, :] / sum_w[:, None, None]
             b = sxy - sx * sy[:, None] / sum_w[:, None]
             var_y = syy - sy * sy / sum_w
@@ -353,7 +458,7 @@ def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):
     vy = var_y[idx]
     bAb = np.einsum("ij,ijk,ik->i", coef, Av, coef)
     with np.errstate(invalid="ignore", divide="ignore"):
-        r2 = np.where(vy > EPS, bAb / vy, np.nan)
+        r2 = np.where(vy > _rel_eps(syy[idx]), bAb / vy, np.nan)
     res["r2"][idx] = r2
     df_resid = n_obs[idx] - df_fit
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -444,6 +549,10 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
     min_obs = width if min_obs is None else min_obs
     ok = ~np.isnan(X).any(axis=1)
     okf = ok.astype(np.float64)
+    if center:
+        # per-column mean shift (see _shift): centered moments invariant
+        cshift = X[ok].mean(axis=0) if ok.any() else np.zeros(k)
+        X = X - cshift[None, :]
     Xv = np.where(ok[:, None], X, 0.0)
     h = _kernel(weights, width)
     n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
@@ -464,8 +573,12 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
         if scale:
             d = np.sqrt(np.einsum("ijj->ij", ss))
             out = ss / (d[:, :, None] * d[:, None, :])
-            # eps gate on the raw centered sums of squares (roll_vec.h:4112)
-            bad = np.einsum("ijj->ij", ss) <= EPS
+            # eps gate on the raw centered sums of squares (roll_vec.h:4112),
+            # magnitude-relative (_rel_eps) against the uncentered moments
+            raw_diag = np.stack(
+                [_rollconv(Xv[:, j] * Xv[:, j], h) for j in range(k)], axis=1
+            )
+            bad = np.einsum("ijj->ij", ss) <= _rel_eps(raw_diag)
             out[bad[:, :, None] | bad[:, None, :]] = np.nan
         else:
             out = ss / denom

@@ -457,7 +457,16 @@ def roll_cor(
     # sumsq = var*(n-1), same sign/zero structure.
     ssx = F.var_samp(xm).over(w) * (n_obs - 1)
     ssy = F.var_samp(ym).over(w) * (n_obs - 1)
-    stat = F.when((ssx > F.lit(EPS)) & (ssy > F.lit(EPS)), F.corr(xm, ym).over(w))
+    # NOT F.corr: its internal ck/sqrt(xMk*yMk) division happens INSIDE
+    # the window aggregate, where no F.when can guard it — a zero-variance
+    # window is a runtime DIVIDE_BY_ZERO under ANSI mode (Spark 4
+    # default). Composing covar/stddev keeps the division in the
+    # projection, where the eps gate's If short-circuits it.
+    stat = F.when(
+        (ssx > F.lit(EPS)) & (ssy > F.lit(EPS)),
+        F.covar_samp(xm, ym).over(w)
+        / (F.stddev_samp(xm).over(w) * F.stddev_samp(ym).over(w)),
+    )
     restore_ref = F.when(F.col(x).isNull() | F.col(y).isNull(), F.lit(None)).otherwise(F.lit(1.0))
     return df.withColumn(out, gate(spec, restore_ref, stat, n_obs, need_two=True))
 

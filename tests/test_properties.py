@@ -1,0 +1,126 @@
+"""Property-based kernel tests: the vectorized conv_* kernels must agree
+with the naive per-window oracle on arbitrary series — random NaN
+patterns, zeros, negative values, width/min_obs extremes, weights longer
+than the window — the corners a fixed grid misses (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from roll_spark.operators import kernels as K
+from tests import oracle
+
+SERIES = arrays(
+    np.float64,
+    st.integers(1, 60),
+    elements=st.one_of(
+        st.floats(-1e6, 1e6, allow_nan=False, width=64),
+        st.just(0.0),
+        st.just(np.nan),
+    ),
+)
+WIDTH = st.integers(1, 12)
+PQ = st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0])
+
+
+def _weights(rng_seed: int, width: int, kind: str) -> np.ndarray | None:
+    if kind == "equal":
+        return None
+    if kind == "exp":
+        return 0.9 ** np.arange(2 * width, 0, -1.0)
+    rng = np.random.default_rng(rng_seed)
+    return rng.uniform(0.1, 3.0, size=width)
+
+
+def _close(a: np.ndarray, b: np.ndarray, rtol: float = 1e-9) -> bool:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    both_nan = np.isnan(a) & np.isnan(b)
+    # default 1e-9 relative covers float64 reassociation between two
+    # correct implementations of the cancellation-free two-pass kernels
+    ok = np.isclose(a, b, rtol=rtol, atol=1e-9, equal_nan=False)
+    return bool(np.all(both_nan | ok))
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '150')), deadline=None)
+@given(x=SERIES, width=WIDTH, min_obs=st.integers(1, 12),
+       kind=st.sampled_from(["equal", "exp", "arbitrary"]),
+       na_restore=st.booleans(), seed=st.integers(0, 10))
+def test_sum_mean_var_match_oracle(x, width, min_obs, kind, na_restore, seed):
+    w = _weights(seed, width, kind)
+    for kfn, ofn in ((K.conv_sum, oracle.roll_sum),
+                     (K.conv_mean, oracle.roll_mean),
+                     (K.conv_var, oracle.roll_var),
+                     (K.conv_sd, oracle.roll_sd)):
+        got = kfn(x, width, weights=w, min_obs=min_obs, na_restore=na_restore)
+        want = ofn(x, width, weights=None if w is None else list(w),
+                   min_obs=min_obs, na_restore=na_restore)
+        assert _close(got, want), (kfn.__name__, width, min_obs, kind)
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '150')), deadline=None)
+@given(x=SERIES, width=WIDTH, p=PQ, min_obs=st.integers(1, 12),
+       kind=st.sampled_from(["equal", "exp", "arbitrary"]),
+       seed=st.integers(0, 10))
+def test_quantile_matches_oracle(x, width, p, min_obs, kind, seed):
+    w = _weights(seed, width, kind)
+    got = K.conv_quantile(x, width, p, weights=w, min_obs=min_obs)
+    want = oracle.roll_quantile(x, width, p,
+                                weights=None if w is None else list(w),
+                                min_obs=min_obs)
+    assert _close(got, want), (width, p, min_obs, kind)
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '100')), deadline=None)
+@given(x=SERIES, width=WIDTH, min_obs=st.integers(1, 12),
+       kind=st.sampled_from(["equal", "exp", "arbitrary"]),
+       seed=st.integers(0, 10))
+def test_cov_cor_match_oracle(x, width, min_obs, kind, seed):
+    rng = np.random.default_rng(seed + 100)
+    y = x[::-1].copy()
+    y[rng.random(len(y)) < 0.2] = np.nan
+    w = _weights(seed, width, kind)
+    wl = None if w is None else list(w)
+    # co-moments have mixed-sign products: the sum's condition number
+    # kappa = sum|w dx dy| / |sum w dx dy| is unbounded (e.g. +-1e6
+    # values with a ~1e3 co-moment -> kappa ~ 1e7), so ANY two correct
+    # float64 implementations differ by ~kappa*eps; 5e-8 covers kappa
+    # up to ~2e8. Variance is exempt: its two-pass sum has non-negative
+    # terms, hence no cancellation (tested at 1e-9 above).
+    assert _close(
+        K.conv_cov(x, y, width, weights=w, min_obs=min_obs),
+        oracle.roll_cov(x, y, width, weights=wl, min_obs=min_obs),
+        rtol=5e-8,
+    )
+    assert _close(
+        K.conv_cor(x, y, width, weights=w, min_obs=min_obs),
+        oracle.roll_cor(x, y, width, weights=wl, min_obs=min_obs),
+        rtol=5e-8,
+    )
+    assert _close(
+        K.conv_crossprod(x, y, width, weights=w, min_obs=min_obs),
+        oracle.roll_crossprod(x, y, width, weights=wl, min_obs=min_obs),
+        rtol=5e-8,
+    )
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '80')), deadline=None)
+@given(x=SERIES, width=WIDTH, min_obs=st.integers(1, 12),
+       kind=st.sampled_from(["equal", "exp"]), seed=st.integers(0, 10))
+def test_prod_matches_oracle(x, width, min_obs, kind, seed):
+    # bound magnitudes so naive products stay in float64 range
+    x = np.clip(x, -50.0, 50.0)
+    w = _weights(seed, width, kind)
+    got = K.conv_prod(x, width, weights=w, min_obs=min_obs)
+    want = oracle.roll_prod(x, width, weights=None if w is None else list(w),
+                            min_obs=min_obs)
+    # log-space product: relative agreement only
+    a, b = np.asarray(got), np.asarray(want)
+    both_nan = np.isnan(a) & np.isnan(b)
+    ok = np.isclose(a, b, rtol=1e-7, atol=1e-9)
+    assert np.all(both_nan | ok)

@@ -174,3 +174,46 @@ def test_chained_ops_collapse_to_one_window_exec(spark, grid_df):
     assert len(re.findall(r"Exchange hash", plan)) == 1, plan
     assert len(re.findall(r"\bSort \[", plan)) == 1, plan
     assert len(re.findall(r"\bWindow ", plan)) == 1, plan
+
+
+def test_constant_series_cor_is_null_not_error(spark, grid_df):
+    """Zero-variance windows must gate roll_cor to NULL, not raise a
+    DIVIDE_BY_ZERO under ANSI mode (F.corr divides inside the window
+    aggregate where no projection-level guard can reach)."""
+    from pyspark.sql import functions as F
+
+    from roll_spark import roll_cor
+
+    const = grid_df.withColumn("a", F.lit(42.0)).withColumn("b", F.lit(7.0))
+    out = roll_cor(const, "a", "b", "series_id", "i", 5, min_obs=2, out="c")
+    assert out.filter(F.col("c").isNotNull()).count() == 0
+
+
+def test_degenerate_inputs_never_raise(spark):
+    """Constant series, all-zero series, and single-row series must flow
+    through every native op without runtime errors under ANSI mode
+    (divisions inside aggregates cannot be guarded by projections)."""
+    from pyspark.sql import functions as F
+
+    from roll_spark import (roll_all, roll_any, roll_cov, roll_crossprod,
+                            roll_idxmax, roll_median, roll_prod, roll_scale,
+                            roll_sd, roll_var)
+    from roll_spark.operators.lm import roll_lm
+
+    rows = [("s1", i, 42.0, 42.0) for i in range(8)] + [("s2", 0, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "g string, i int, a double, b double")
+    outs = [
+        roll_prod(df, "b", "g", "i", 5, min_obs=1, out="o"),
+        roll_idxmax(df, "a", "g", "i", 5, min_obs=1, out="o"),
+        roll_median(df, "a", "g", "i", 5, min_obs=1, out="o"),
+        roll_var(df, "a", "g", "i", 5, min_obs=1, center=False, out="o"),
+        roll_sd(df, "a", "g", "i", 5, min_obs=1, out="o"),
+        roll_scale(df, "a", "g", "i", 5, min_obs=1, out="o"),
+        roll_cov(df, "a", "b", "g", "i", 5, min_obs=1, out="o"),
+        roll_crossprod(df, "a", "b", "g", "i", 5, min_obs=1, out="o"),
+        roll_any(df.withColumn("c", F.col("a") > 0), "c", "g", "i", 5, out="o"),
+        roll_all(df.withColumn("c", F.col("a") > 0), "c", "g", "i", 5, out="o"),
+        roll_lm(df, "a", "b", "g", "i", 5, min_obs=2),
+    ]
+    for out in outs:
+        out.collect()  # must not raise
