@@ -200,7 +200,7 @@ def roll_scale(df, value, by, order, spec: RollSpec, *, out="roll_scale"):
                 if spec.center:
                     # exact two-pass centered sum of squares (no
                     # cancellation; see kernels._pair_window_moments)
-                    n_obs, sum_w, sumsq_w, ss, _, _ = K._pair_window_moments(
+                    n_obs, sum_w, sumsq_w, ss, _, _, _, _ = K._pair_window_moments(
                         x, None, width, weights
                     )
                 else:

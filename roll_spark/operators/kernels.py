@@ -93,36 +93,6 @@ def conv_mean(x, width, weights=None, min_obs=None, na_restore=False):
     return _restore(out, s.x, na_restore)
 
 
-def _rel_eps(raw_mag):
-    """Clamp/gate tolerance scaled to the uncentered moment magnitude.
-
-    The reference accumulates in long double, so its cancellation error on
-    a constant window lands inside the ABSOLUTE eps clamp
-    (roll_vec.h:410-415, :2275). Our float64 convolution's cancellation
-    error is ~eps * |sum w x^2| instead; scaling the tolerance by that
-    magnitude reproduces the reference's clamp/gate decisions (constant
-    window -> var 0, cor NA) for data of any scale. max(1, .) keeps the
-    absolute eps floor for small-magnitude data; the 8x factor covers the
-    few-ulp accumulation of the convolution (observed up to ~1.1 ulp on a
-    2-slot window; long windows accumulate more)."""
-    return 8.0 * EPS * np.maximum(1.0, np.abs(raw_mag))
-
-
-def _shift(x):
-    """Series-constant shift for centered-moment kernels.
-
-    Centered moments are invariant under x -> x - c for ANY constant c,
-    but the uncentered-moment identity sum(w x^2) - (sum w x)^2/sum_w
-    loses ~eps * mean^2/var relative precision to cancellation; shifting
-    by the series mean makes mean^2 ~ var so the loss is O(eps). This is
-    how the float64 convolution path matches the reference's long-double
-    accumulators (roll_vec.h:410-415) to ~1e-15 relative on any data
-    scale. NOT applied to raw/uncentered outputs (crossprod, center=False
-    paths), which are origin-dependent."""
-    x = np.asarray(x, dtype=np.float64)
-    ok = ~np.isnan(x)
-    c = float(x[ok].mean()) if ok.any() else 0.0
-    return x - c, c
 
 
 def _win_block(width: int) -> int:
@@ -136,14 +106,14 @@ def _win_block(width: int) -> int:
 def _pair_window_moments(x, y, width, weights):
     """Exact two-pass weighted (co)moments over every trailing window.
 
-    Yields per row: n_obs, sum_w, sumsq_w, ssx, ssy, ssxy where
+    Yields per row: n_obs, sum_w, sumsq_w, ssx, ssy, ssxy, mux, muy where
     ss* = sum(w (a - mu_a)(b - mu_b)) with mu the window's own weighted
     mean — computed directly per window (strided view, row-blocked), so
     there is NO uncentered-moment cancellation: constant windows give
     exactly 0, any data scale gives ~eps relative error. This is the
     float64 equivalent of the reference's long-double accumulators
     (roll_vec.h:410-415); the one-pass recursions remain in online_*.
-    Pass y=None for single-series moments (ssy/ssxy then equal ssx).
+    Pass y=None for single-series moments (ssy/ssxy/muy then alias x's).
     """
     x = np.asarray(x, dtype=np.float64)
     two = y is not None
@@ -163,6 +133,8 @@ def _pair_window_moments(x, y, width, weights):
     ssx = np.empty(n)
     ssy = np.empty(n)
     ssxy = np.empty(n)
+    mux_a = np.empty(n)
+    muy_a = np.empty(n)
     block = _win_block(width)
     for b0 in range(0, n, block):
         b1 = min(n, b0 + block)
@@ -176,6 +148,15 @@ def _pair_window_moments(x, y, width, weights):
         xv = np.where(okm, wx, 0.0)
         with np.errstate(invalid="ignore", divide="ignore"):
             mux = (sw * xv).sum(axis=1) / swsum
+        # an exactly-constant window must yield EXACTLY zero centered
+        # sums (rank-deficiency / zero-variance decisions hang on it),
+        # but the weighted mean of identical values is not exact in
+        # float64 for non-dyadic weights — pin the mean to the constant
+        # (detected exactly via window min == max) so dx is exactly 0
+        lo = np.where(okm, wx, np.inf).min(axis=1)
+        hi = np.where(okm, wx, -np.inf).max(axis=1)
+        mux = np.where(lo == hi, lo, mux)
+        mux_a[b0:b1] = mux
         dx = np.where(okm, wx - mux[:, None], 0.0)
         ssx[b0:b1] = (sw * dx * dx).sum(axis=1)
         if two:
@@ -185,13 +166,18 @@ def _pair_window_moments(x, y, width, weights):
             yv = np.where(okm, wy, 0.0)
             with np.errstate(invalid="ignore", divide="ignore"):
                 muy = (sw * yv).sum(axis=1) / swsum
+            lo = np.where(okm, wy, np.inf).min(axis=1)
+            hi = np.where(okm, wy, -np.inf).max(axis=1)
+            muy = np.where(lo == hi, lo, muy)
+            muy_a[b0:b1] = muy
             dy = np.where(okm, wy - muy[:, None], 0.0)
             ssy[b0:b1] = (sw * dy * dy).sum(axis=1)
             ssxy[b0:b1] = (sw * dx * dy).sum(axis=1)
     if not two:
         ssy = ssx
         ssxy = ssx
-    return n_obs, sum_w, sumsq_w, ssx, ssy, ssxy
+        muy_a = mux_a
+    return n_obs, sum_w, sumsq_w, ssx, ssy, ssxy, mux_a, muy_a
 
 
 def conv_var(x, width, weights=None, min_obs=None, na_restore=False, center=True):
@@ -203,7 +189,7 @@ def conv_var(x, width, weights=None, min_obs=None, na_restore=False, center=True
     min_obs = width if min_obs is None else min_obs
     x = np.asarray(x, dtype=np.float64)
     if center:
-        n_obs, sum_w, sumsq_w, ss, _, _ = _pair_window_moments(x, None, width, weights)
+        n_obs, sum_w, sumsq_w, ss, _, _, _, _ = _pair_window_moments(x, None, width, weights)
     else:
         s = WindowSums(x, width, weights)
         n_obs, sum_w, sumsq_w, ss = s.n_obs, s.sum_w, s.sumsq_w(), s.sum_wx2()
@@ -228,7 +214,7 @@ def conv_cov(x, y, width, weights=None, min_obs=None, na_restore=False, center=T
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if center:
-        n_obs, sum_w, sumsq_w, _, _, ss = _pair_window_moments(x, y, width, weights)
+        n_obs, sum_w, sumsq_w, _, _, ss, _, _ = _pair_window_moments(x, y, width, weights)
     else:
         both = ~np.isnan(x) & ~np.isnan(y)
         okf = both.astype(np.float64)
@@ -254,7 +240,7 @@ def conv_cor(x, y, width, weights=None, min_obs=None, na_restore=False):
     min_obs = width if min_obs is None else min_obs
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    n_obs, sum_w, _, ssx, ssy, ssxy = _pair_window_moments(x, y, width, weights)
+    n_obs, sum_w, _, ssx, ssy, ssxy, _, _ = _pair_window_moments(x, y, width, weights)
     with np.errstate(invalid="ignore", divide="ignore"):
         out = np.where(
             (n_obs > 1) & (n_obs >= min_obs) & (ssx > EPS) & (ssy > EPS),
@@ -392,47 +378,48 @@ def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):
     df_fit = k + 1 if intercept else k
     ok = ~np.isnan(X).any(axis=1) & ~np.isnan(y)
     okf = ok.astype(np.float64)
-    # mean-shift regressors and response when fitting an intercept: the
-    # centered normal-equation moments are shift-invariant but float64
-    # cancellation is not (see _shift); original means are restored below
-    # for the intercept and its standard error.
+    # RAW centered crossprod moments (src/roll.cpp:2069-2087): the lm
+    # normal equations use sum(w (x-mx)(x-mx)) undivided — that's what
+    # makes se equal stats::lm's. Centered moments come from the exact
+    # per-window two-pass (_pair_window_moments) under the complete_obs
+    # row mask, so a constant regressor gives A_jj EXACTLY 0 and hits the
+    # singular-system NA path just like arma::solve(no_approx).
     if intercept:
-        cx = X[ok].mean(axis=0) if ok.any() else np.zeros(k)
-        cy = float(y[ok].mean()) if ok.any() else 0.0
-        X = X - cx[None, :]
-        y = y - cy
-    Xv = np.where(ok[:, None], X, 0.0)
-    yv = np.where(ok, y, 0.0)
-    h = _kernel(weights, width)
-    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
-    sum_w = _rollconv(okf, h)
-    # rolling weighted sums of x_j, y, x_j x_l, x_j y, y^2
-    sx = np.stack([_rollconv(Xv[:, j], h) for j in range(k)], axis=1)  # (n,k)
-    sy = _rollconv(yv, h)
-    sxx = np.zeros((n, k, k))
-    for j in range(k):
-        for l in range(j, k):
-            c = _rollconv(Xv[:, j] * Xv[:, l], h)
-            sxx[:, j, l] = c
-            sxx[:, l, j] = c
-    sxy = np.stack([_rollconv(Xv[:, j] * yv, h) for j in range(k)], axis=1)
-    syy = _rollconv(yv * yv, h)
-
-    with np.errstate(invalid="ignore", divide="ignore"):
-        # RAW centered crossprod moments (src/roll.cpp:2069-2087): the lm
-        # normal equations use sum(w (x-mx)(x-mx)) undivided — that's what
-        # makes se equal stats::lm's
-        if intercept:
-            # original-scale means (shifted mean + shift constant)
-            mx = sx / sum_w[:, None] + cx[None, :]
-            my = sy / sum_w + cy
-            A = sxx - sx[:, :, None] * sx[:, None, :] / sum_w[:, None, None]
-            b = sxy - sx * sy[:, None] / sum_w[:, None]
-            var_y = syy - sy * sy / sum_w
-        else:
-            A = sxx
-            b = sxy
-            var_y = syy
+        Xm = np.where(ok[:, None], X, np.nan)
+        ym = np.where(ok, y, np.nan)
+        A = np.empty((n, k, k))
+        b = np.empty((n, k))
+        mx = np.empty((n, k))
+        for j in range(k):
+            n_obs, sum_w, _, ssj, _, ssjy, muj, _ = _pair_window_moments(
+                Xm[:, j], ym, width, weights
+            )
+            A[:, j, j] = ssj
+            b[:, j] = ssjy
+            mx[:, j] = muj
+            for l in range(j + 1, k):
+                _, _, _, _, _, ssjl, _, _ = _pair_window_moments(
+                    Xm[:, j], Xm[:, l], width, weights
+                )
+                A[:, j, l] = ssjl
+                A[:, l, j] = ssjl
+        n_obs, sum_w, _, var_y, _, _, my, _ = _pair_window_moments(
+            ym, None, width, weights
+        )
+    else:
+        Xv = np.where(ok[:, None], X, 0.0)
+        yv = np.where(ok, y, 0.0)
+        h = _kernel(weights, width)
+        n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+        sum_w = _rollconv(okf, h)
+        A = np.zeros((n, k, k))
+        for j in range(k):
+            for l in range(j, k):
+                c = _rollconv(Xv[:, j] * Xv[:, l], h)
+                A[:, j, l] = c
+                A[:, l, j] = c
+        b = np.stack([_rollconv(Xv[:, j] * yv, h) for j in range(k)], axis=1)
+        var_y = _rollconv(yv * yv, h)
 
     res = {
         "coef": np.full((n, k), np.nan),
@@ -458,7 +445,9 @@ def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):
     vy = var_y[idx]
     bAb = np.einsum("ij,ijk,ik->i", coef, Av, coef)
     with np.errstate(invalid="ignore", divide="ignore"):
-        r2 = np.where(vy > _rel_eps(syy[idx]), bAb / vy, np.nan)
+        # two-pass var_y is exactly 0 on a constant response, so the
+        # reference's plain absolute eps gate applies (roll_mat.h:5573)
+        r2 = np.where(vy > EPS, bAb / vy, np.nan)
     res["r2"][idx] = r2
     df_resid = n_obs[idx] - df_fit
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -549,36 +538,43 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
     min_obs = width if min_obs is None else min_obs
     ok = ~np.isnan(X).any(axis=1)
     okf = ok.astype(np.float64)
-    if center:
-        # per-column mean shift (see _shift): centered moments invariant
-        cshift = X[ok].mean(axis=0) if ok.any() else np.zeros(k)
-        X = X - cshift[None, :]
-    Xv = np.where(ok[:, None], X, 0.0)
-    h = _kernel(weights, width)
-    n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
-    sum_w = _rollconv(okf, h)
-    sumsq_w = _rollconv(okf, h * h)
-    sx = np.stack([_rollconv(Xv[:, j], h) for j in range(k)], axis=1)
     ss = np.empty((n, k, k))
-    for j in range(k):
-        for l in range(j, k):  # lower triangle + mirror
-            c = _rollconv(Xv[:, j] * Xv[:, l], h)
-            ss[:, j, l] = c
-            ss[:, l, j] = c
+    if center:
+        # exact per-window two-pass centered (co)moments under the
+        # complete_obs row mask (see _pair_window_moments): constant
+        # columns give exactly 0 on the diagonal, so the scale=True eps
+        # gate is the reference's plain absolute eps
+        Xm = np.where(ok[:, None], X, np.nan)
+        for j in range(k):
+            n_obs, sum_w, sumsq_w, ssj, _, _, _, _ = _pair_window_moments(
+                Xm[:, j], None, width, weights
+            )
+            ss[:, j, j] = ssj
+            for l in range(j + 1, k):  # lower triangle + mirror
+                _, _, _, _, _, ssjl, _, _ = _pair_window_moments(
+                    Xm[:, j], Xm[:, l], width, weights
+                )
+                ss[:, j, l] = ssjl
+                ss[:, l, j] = ssjl
+    else:
+        Xv = np.where(ok[:, None], X, 0.0)
+        h = _kernel(weights, width)
+        n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+        sum_w = _rollconv(okf, h)
+        sumsq_w = _rollconv(okf, h * h)
+        for j in range(k):
+            for l in range(j, k):
+                c = _rollconv(Xv[:, j] * Xv[:, l], h)
+                ss[:, j, l] = c
+                ss[:, l, j] = c
     with np.errstate(invalid="ignore", divide="ignore"):
-        if center:
-            ss = ss - sx[:, :, None] * sx[:, None, :] / sum_w[:, None, None]
         denom = (sum_w - sumsq_w / sum_w)[:, None, None]
         gate = (n_obs > 1) & (n_obs >= min_obs)
         if scale:
             d = np.sqrt(np.einsum("ijj->ij", ss))
             out = ss / (d[:, :, None] * d[:, None, :])
-            # eps gate on the raw centered sums of squares (roll_vec.h:4112),
-            # magnitude-relative (_rel_eps) against the uncentered moments
-            raw_diag = np.stack(
-                [_rollconv(Xv[:, j] * Xv[:, j], h) for j in range(k)], axis=1
-            )
-            bad = np.einsum("ijj->ij", ss) <= _rel_eps(raw_diag)
+            # eps gate on the raw centered sums of squares (roll_vec.h:4112)
+            bad = np.einsum("ijj->ij", ss) <= EPS
             out[bad[:, :, None] | bad[:, None, :]] = np.nan
         else:
             out = ss / denom

@@ -372,6 +372,13 @@ def roll_lm(x, y, width, weights=None, min_obs=None, intercept=True):
         if intercept:
             mx = (wts * vx).sum() / sum_w
             my = (wts * vy).sum() / sum_w
+            # pin the mean of an exactly-constant window to the constant
+            # so the centered moments are exactly 0 (the rank-deficiency
+            # decision hangs on A == 0; mirrors the kernel contract)
+            if vx.max() == vx.min():
+                mx = vx[0]
+            if vy.max() == vy.min():
+                my = vy[0]
         else:
             mx = my = 0.0
         # RAW centered weighted crossprod moments: roll_lm's phase 1 uses

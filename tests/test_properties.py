@@ -124,3 +124,40 @@ def test_prod_matches_oracle(x, width, min_obs, kind, seed):
     both_nan = np.isnan(a) & np.isnan(b)
     ok = np.isclose(a, b, rtol=1e-7, atol=1e-9)
     assert np.all(both_nan | ok)
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '100')), deadline=None)
+@given(x=SERIES, width=WIDTH, min_obs=st.integers(1, 12),
+       kind=st.sampled_from(["equal", "exp", "arbitrary"]),
+       intercept=st.booleans(), seed=st.integers(0, 10))
+def test_lm_matches_oracle(x, width, min_obs, kind, intercept, seed):
+    rng = np.random.default_rng(seed + 200)
+    y = 0.5 * x + rng.normal(size=len(x))
+    y[rng.random(len(y)) < 0.15] = np.nan
+    w = _weights(seed, width, kind)
+    got = K.conv_lm_k(x[:, None], y, width, weights=w, min_obs=min_obs,
+                      intercept=intercept)
+    want = oracle.roll_lm(x, y, width, weights=None if w is None else list(w),
+                          min_obs=min_obs, intercept=intercept)
+    # normal-equation solves amplify co-moment conditioning; 1e-6 relative
+    # is the honest float64 bound for adversarial (+-1e6, near-collinear)
+    # windows — typical data agrees to ~1e-12 (see test_lm grid tests)
+    pairs = [("coef_x", got["coef"][:, 0]), ("r2", got["r2"]),
+             ("se_x", got["se"][:, 0])]
+    if intercept:
+        pairs += [("intercept", got["intercept"]),
+                  ("se_intercept", got["se_intercept"])]
+    # standard errors go through var_resid = (1-r2)*var_y — a cancellation
+    # with condition number r2/(1-r2), so near-perfect fits make ANY two
+    # float64 implementations disagree in se; both formulas are the
+    # reference's own (roll_mat.h:5582-5595). Compare se only away from
+    # the r2 -> 1 wall.
+    wr2 = np.asarray(want["r2"], dtype=np.float64)
+    se_ok = ~(wr2 > 1.0 - 1e-6)
+    for name, g in pairs:
+        if name.startswith("se"):
+            g = np.where(se_ok, g, np.nan)
+            wv = np.where(se_ok, want[name], np.nan)
+        else:
+            wv = want[name]
+        assert _close(g, wv, rtol=1e-6), (name, width, min_obs, kind)
