@@ -321,6 +321,66 @@ def q_roll_quantile_exp_w10(spark, sf_dir):
     return df.select("user_id", "ts", F.round(F.col("s") + 1e-5, 4).alias("wq50"))
 
 
+def q_roll_median_w400(spark, sf_dir):
+    """Large-width equal-weight median: width 400 exceeds
+    QUANTILE_NATIVE_MAX_WIDTH, so this routes to the Arrow blocked-sort
+    kernel (never the per-row collect_list/array_sort WindowExec, which
+    is O(w) JVM heap per row — an OOM at tick-scale widths)."""
+    df = roll_median(_events(spark, sf_dir), "value", "user_id", "ts", 400,
+                     min_obs=1, out="s")
+    return _sel(df, "s", "med400")
+
+
+def q_roll_cov_xy_w10(spark, sf_dir):
+    """(x, y) matrix-pair CROSS-covariance cube (k_x=2, k_y=1): the
+    reference's non-symmetric cube output (src/roll.cpp:1661-1679);
+    oracle checks each entry via masked covar_samp under the
+    complete-obs mask across ALL columns of both matrices."""
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_cov_xy_matrix
+
+    ow = ordered_window("user_id", "ts")
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("vlag", F.lag("value").over(ow))
+        .withColumn("vlead", F.lead("value").over(ow))
+    )
+    df = roll_cov_xy_matrix(ev, ["value", "vlag"], ["vlead"], "user_id", "ts",
+                            RollSpec(width=10, min_obs=5), out="m")
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("m")[0]).alias("cx1y"),
+        _r6(F.col("m")[1]).alias("cx2y"),
+    )
+
+
+def q_roll_lm_multiy_w20(spark, sf_dir):
+    """Multi-response rolling OLS: one independent fit per y column in a
+    single grouped-map pass (reference z-matrix loop,
+    src/roll.cpp:2280-2325). Each fit carries its own complete-obs mask
+    — y2 = lag(value) drops each series' first row from ITS fit only."""
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_lm_multi
+
+    ow = ordered_window("user_id", "ts")
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(ow).cast("double"))
+        .withColumn("vlag", F.lag("value").over(ow))
+    )
+    df = roll_lm_multi(ev, ["rn"], ["value", "vlag"], "user_id", "ts",
+                       RollSpec(width=20, min_obs=20))
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("lm_value_coef")[0]).alias("b_y1"),
+        _r6(F.col("lm_value_intercept")).alias("a_y1"),
+        _r6(F.col("lm_value_r2")).alias("r2_y1"),
+        _r6(F.col("lm_vlag_coef")[0]).alias("b_y2"),
+        _r6(F.col("lm_vlag_intercept")).alias("a_y2"),
+        _r6(F.col("lm_vlag_r2")).alias("r2_y2"),
+    )
+
+
 def q_roll_mean_chunked_w10(spark, sf_dir):
     """Skew path: overlap-padded chunked evaluation (chunk_rows=25) must
     equal the plain rolling mean — same oracle as roll_mean_w10."""
@@ -413,7 +473,10 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     from roll_spark.datapipe.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    # max_shingle_df=100: the stop-shingle cap that bounds the inverted
+    # self-join at any corpus size; the oracle applies the same cap
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2,
+                              max_shingle_df=100)
     return out.select("da", "db", _r6(F.col("jaccard")).alias("jaccard"))
 
 
@@ -436,44 +499,76 @@ def q_ann_brute_top5(spark, sf_dir):
 
 
 def q_minhash_lsh_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (xxhash64-based -> no SQL oracle;
-    driver records a rows-only check; numpy-oracle tested in pytest)."""
+    """MinHash+LSH banding candidates VERIFIED by exact shingle Jaccard.
+
+    High-recall banding config (bands=16, rows=2: a j=0.5 pair collides
+    in >=1 band w.p. 0.99, j>=0.8 w.p. 1-2e-7), so the verified output
+    equals the exact-Jaccard pair set at threshold 0.5 — which the
+    DuckDB oracle computes directly. The xxhash64 signatures themselves
+    are numpy-oracle-tested in pytest."""
     from roll_spark.datapipe.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=0.5)
+    out = minhash_lsh_pairs(docs, "text", "doc_id", n_hashes=32, bands=16,
+                            verify_threshold=0.5)
     return out.select("da", "db", _r6(F.col("jaccard")).alias("jaccard"))
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash banding near-dups (xxhash64-based -> rows-only check)."""
-    from roll_spark.datapipe.dedup import simhash_neardup_pairs
+    """SimHash byte-band candidates VERIFIED by exact trigram Jaccard
+    (>= 0.4). bands=8 over 32 bits tolerates hamming <= 7 by pigeonhole,
+    so near-identical docs always collide and the verified output equals
+    the exact trigram-Jaccard pair set the oracle computes."""
+    from roll_spark.datapipe.dedup import simhash_verified_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3)
+    out = simhash_verified_pairs(docs, "text", "doc_id", bits=32, bands=8,
+                                 jaccard_threshold=0.4)
+    return out.select("da", "db", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_emb_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs — the SCALE path (the brute
+    all-pairs join stays as the oracle only). At the 0.4 threshold the
+    16x2-bit banding has per-pair recall ~0.9997; the oracle is the
+    brute SQL, so the driver hash-checks that blocking loses nothing on
+    this corpus."""
+    from roll_spark.datapipe.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_lsh(emb, "embedding", "vec_id", threshold=0.4)
+    return out.select("da", "db", _r6(F.col("cosine")).alias("cosine"))
 
 
 def q_lsh_ann_top5(spark, sf_dir):
-    """Hyperplane-LSH ANN (approximate by design -> rows-only check;
-    recall vs brute force asserted in pytest)."""
+    """Hyperplane-LSH ANN. The projection planes are literal constants
+    from a seeded RNG, so the WHOLE computation (sign-bit band keys ->
+    bucket join -> exact rerank) is closed-form — the DuckDB oracle
+    replays it with the same plane literals and must match exactly."""
     from roll_spark.datapipe.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries_df, k=5).select(
-        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
 def q_ivf_ann_top5(spark, sf_dir):
-    """IVF ANN (sampled k-means cells + n_probe; approximate by design ->
-    rows-only check; recall vs brute force asserted in pytest)."""
-    from roll_spark.datapipe.similarity import ivf_topk
+    """IVF ANN over a data-independent seeded quantizer (seed_centroids):
+    cell assignment + n_probe probing + exact rerank are closed-form in
+    the centroid literals, so the DuckDB oracle replays them exactly.
+    The production fit path (_fit_centroids: deterministic ordered
+    sample + spherical k-means) is pytest-verified for determinism and
+    recall instead."""
+    from roll_spark.datapipe.similarity import ivf_topk, seed_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=6).select(
-        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    cents = seed_centroids(64, 16, seed=42)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, n_probe=6,
+                    centroids=cents).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
@@ -507,6 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_cov_matrix_w10": q_roll_cov_matrix_w10,
         "roll_quantile_exp_w10": q_roll_quantile_exp_w10,
         "roll_mean_chunked_w10": q_roll_mean_chunked_w10,
+        "roll_median_w400": q_roll_median_w400,
+        "roll_cov_xy_w10": q_roll_cov_xy_w10,
+        "roll_lm_multiy_w20": q_roll_lm_multiy_w20,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "latency_roll_mean_w10": q_latency_roll_mean_w10,
         "tier_1m_stats": q_tier_1m_stats,
@@ -582,6 +681,90 @@ s AS (SELECT doc_id,
 _COS = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+
+def _dlist(v) -> str:
+    """DuckDB DOUBLE[] literal with full float64 precision — the same
+    Python floats Spark embeds via F.lit, so both engines compute on
+    bit-identical constants."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _lsh_oracle_sql(dim=64, n_planes=16, bands=4, k=5, n_queries=10) -> str:
+    """Replay lsh_topk in SQL: same seeded plane literals, same sign-bit
+    band keys, same bucket join + rounded-cosine rerank."""
+    from roll_spark.datapipe.similarity import _hyperplanes
+
+    rows = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    band_selects = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_dlist(planes[b * rows + r])}) >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, {bits} AS key FROM embeddings"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH banded AS ({banded}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM banded c JOIN banded q ON c.band = q.band AND c.key = q.key
+          WHERE q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+        ), scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ROUND(1e-7 + {_COS}, 6) AS cosine
+          FROM cand
+          JOIN embeddings a ON a.vec_id = cand.neighbor_id
+          JOIN embeddings b ON b.vec_id = cand.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT * FROM ranked WHERE rank <= {k}"""
+
+
+def _ivf_oracle_sql(dim=64, n_centroids=16, n_probe=6, k=5, n_queries=10) -> str:
+    """Replay ivf_topk over the seeded data-independent quantizer in SQL:
+    same centroid literals, argmax assignment as (dot DESC, cell ASC)
+    rank 1, n_probe probing, rounded-cosine rerank."""
+    from roll_spark.datapipe.similarity import seed_centroids
+
+    C = seed_centroids(dim, n_centroids, seed=42)
+    values = ", ".join(f"({i}, {_dlist(C[i])})" for i in range(n_centroids))
+    return f"""
+        WITH cents(cell, cv) AS (VALUES {values}),
+        scoredcell AS (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv) DESC,
+                            c.cell ASC) AS rnk
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (SELECT vec_id, cell FROM scoredcell WHERE rnk = 1),
+        probe AS (SELECT vec_id, cell FROM scoredcell
+                  WHERE rnk <= {n_probe} AND vec_id < {n_queries}),
+        cand AS (
+          SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+          FROM assign a JOIN probe p ON a.cell = p.cell
+          WHERE a.vec_id != p.vec_id
+        ), scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 ROUND(1e-7 + {_COS}, 6) AS cosine
+          FROM cand
+          JOIN embeddings a ON a.vec_id = cand.neighbor_id
+          JOIN embeddings b ON b.vec_id = cand.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT * FROM ranked WHERE rank <= {k}"""
 
 
 def _datapipe_oracles() -> dict[str, str]:
@@ -663,7 +846,24 @@ def _datapipe_oracles() -> dict[str, str]:
                          THEN en_markers::DOUBLE / n_tokens ELSE 0.0 END) >= 0.01
                    THEN 'en' ELSE 'unk' END AS lang_pred
             FROM m""",
+        # mirrors the engine's max_shingle_df=100 stop-shingle cap:
+        # Jaccard over the capped shingle universe (sizes post-cap too)
         "ngram_jaccard_pairs": _SHINGLES + """
+            , keep AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 100),
+            s2 AS (SELECT s.* FROM s JOIN keep USING (sh)),
+            c AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+              FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sz AS (SELECT doc_id, count(*) AS nsh FROM s2 GROUP BY 1)
+            SELECT da, db,
+              ROUND(1e-7 + common::DOUBLE / (x.nsh + y.nsh - common), 6) AS jaccard
+            FROM c JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+            WHERE common::DOUBLE / (x.nsh + y.nsh - common) >= 0.2""",
+        # MinHash+LSH gated query = banding candidates verified by exact
+        # Jaccard, with a banding config whose recall is 1 on this corpus
+        # -> the verified output IS the exact pair set at threshold 0.5
+        "minhash_lsh_dedup": _SHINGLES + """
             , c AS (
               SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
               FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -672,7 +872,29 @@ def _datapipe_oracles() -> dict[str, str]:
             SELECT da, db,
               ROUND(1e-7 + common::DOUBLE / (x.nsh + y.nsh - common), 6) AS jaccard
             FROM c JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-            WHERE common::DOUBLE / (x.nsh + y.nsh - common) >= 0.2""",
+            WHERE common::DOUBLE / (x.nsh + y.nsh - common) >= 0.5""",
+        # SimHash gated query = byte-band candidates verified by exact
+        # TRIGRAM Jaccard >= 0.4 (bands=8 tolerates hamming <= 7, recall
+        # 1 on near-identical docs) -> equals the exact trigram pair set
+        "simhash_neardup": _SHINGLES + """
+            , c AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+              FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sz AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1)
+            SELECT da, db,
+              ROUND(1e-7 + common::DOUBLE / (x.nsh + y.nsh - common), 6) AS jaccard
+            FROM c JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+            WHERE common::DOUBLE / (x.nsh + y.nsh - common) >= 0.4""",
+        # LSH blocking must lose nothing at cosine >= 0.4: oracle is the
+        # BRUTE pair join
+        "emb_neardup_lsh": f"""
+            SELECT a.vec_id AS da, b.vec_id AS db,
+                   ROUND(1e-7 + {_COS}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.4""",
+        "lsh_ann_top5": _lsh_oracle_sql(),
+        "ivf_ann_top5": _ivf_oracle_sql(),
         "emb_neardup_pairs": f"""
             SELECT a.vec_id AS da, b.vec_id AS db,
                    ROUND(1e-7 + {_COS}, 6) AS cosine
@@ -722,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
                     THEN stddev_samp(value) OVER ({_W10}) END, 6) AS sd10
             FROM events""",
         "roll_median_w5": _HF2.format(w=_W5, q=0.5, alias="med5"),
+        "roll_median_w400": _HF2.format(w=W.format(pre=399), q=0.5, alias="med400"),
         "roll_quantile_p25_w10": _HF2.format(w=_W10, q=0.75, alias="q25"),
         "roll_idxmin_w10": """
             WITH t AS (
@@ -990,6 +1213,74 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + sqrt(var_resid * S22 / det), 6) AS se1,
               ROUND(1e-7 + sqrt(var_resid * S11 / det), 6) AS se2
             FROM h""",
+        "roll_cov_xy_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS vlag,
+                     lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS vlead
+              FROM events
+            ), m AS (
+              -- complete-obs across BOTH matrices: row enters no window
+              -- unless value, vlag AND vlead are all observed
+              SELECT user_id, ts,
+                CASE WHEN vlag IS NOT NULL AND vlead IS NOT NULL THEN value END AS x1,
+                CASE WHEN value IS NOT NULL AND vlead IS NOT NULL THEN vlag END AS x2,
+                CASE WHEN value IS NOT NULL AND vlag IS NOT NULL THEN vlead END AS y
+              FROM t
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(CASE WHEN x1 IS NOT NULL AND x2 IS NOT NULL
+                                AND y IS NOT NULL THEN 1 END) OVER ({_W10}) >= 5
+                    THEN covar_samp(x1, y) OVER ({_W10}) END, 6) AS cx1y,
+              ROUND(1e-7 + CASE WHEN count(CASE WHEN x1 IS NOT NULL AND x2 IS NOT NULL
+                                AND y IS NOT NULL THEN 1 END) OVER ({_W10}) >= 5
+                    THEN covar_samp(x2, y) OVER ({_W10}) END, 6) AS cx2y
+            FROM m""",
+        "roll_lm_multiy_w20": f"""
+            WITH t AS (
+              SELECT user_id, ts, value AS y1,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS x,
+                lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS y2
+              FROM events
+            ), m AS (
+              -- fit 2's own complete-obs mask: x masked where y2 missing
+              SELECT user_id, ts, x, y1, y2,
+                     CASE WHEN y2 IS NOT NULL THEN x END AS x2m
+              FROM t
+            ), s AS (
+              SELECT user_id, ts,
+                count(y1) OVER ({_W20}) AS n1,
+                sum(x) OVER ({_W20}) AS sx1, sum(y1) OVER ({_W20}) AS sy1,
+                sum(x*x) OVER ({_W20}) AS sxx1, sum(x*y1) OVER ({_W20}) AS sxy1,
+                sum(y1*y1) OVER ({_W20}) AS syy1,
+                count(y2) OVER ({_W20}) AS n2,
+                sum(x2m) OVER ({_W20}) AS sx2, sum(y2) OVER ({_W20}) AS sy2,
+                sum(x2m*x2m) OVER ({_W20}) AS sxx2, sum(x2m*y2) OVER ({_W20}) AS sxy2,
+                sum(y2*y2) OVER ({_W20}) AS syy2
+              FROM m
+            ), d AS (
+              SELECT user_id, ts, n1, n2,
+                sxx1 - sx1*sx1/n1 AS S1, sxy1 - sx1*sy1/n1 AS C1,
+                syy1 - sy1*sy1/n1 AS V1, sx1/n1 AS mx1, sy1/n1 AS my1,
+                sxx2 - sx2*sx2/n2 AS S2, sxy2 - sx2*sy2/n2 AS C2,
+                syy2 - sy2*sy2/n2 AS V2, sx2/n2 AS mx2, sy2/n2 AS my2
+              FROM s
+            ), e AS (
+              SELECT user_id, ts, n1, n2, S1, V1, mx1, my1, S2, V2, mx2, my2,
+                CASE WHEN n1 >= 20 AND S1 != 0 THEN C1/S1 END AS b1,
+                CASE WHEN n2 >= 20 AND S2 != 0 THEN C2/S2 END AS b2
+              FROM d
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + b1, 6) AS b_y1,
+              ROUND(1e-7 + CASE WHEN b1 IS NOT NULL THEN my1 - mx1*b1 END, 6) AS a_y1,
+              ROUND(1e-7 + CASE WHEN b1 IS NOT NULL AND V1 > 2.220446049250313e-16
+                    THEN b1*S1*b1/V1 END, 6) AS r2_y1,
+              ROUND(1e-7 + b2, 6) AS b_y2,
+              ROUND(1e-7 + CASE WHEN b2 IS NOT NULL THEN my2 - mx2*b2 END, 6) AS a_y2,
+              ROUND(1e-7 + CASE WHEN b2 IS NOT NULL AND V2 > 2.220446049250313e-16
+                    THEN b2*S2*b2/V2 END, 6) AS r2_y2
+            FROM e""",
         "roll_quantile_exp_w10": f"""
             WITH win AS (
               SELECT user_id, ts, list(value) OVER ({_W10}) AS l FROM events

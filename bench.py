@@ -149,19 +149,32 @@ def scaling_worker(cpus: int, rows: int) -> None:
     _noop_write(roll_median(warm, "text_len", "conv_id", "turn_idx", width,
                             weights=wts, min_obs=1, out="q"))
 
-    t0 = time.time()
-    # flagship rollup: exact weighted HF2 rolling median (Arrow kernels,
-    # one columnar batch per conversation) + the 1m->1h->1d cascade off
-    # the same cached scan
-    r = roll_median(slim, "text_len", "conv_id", "turn_idx", width,
-                    weights=wts, min_obs=1, out="q")
-    _noop_write(r)
-    t_median = time.time() - t0
-    cascade = T.cascade(df, "text_len", "ts", "conv_id", tiers=("1m", "1h", "1d"))
-    _noop_write(T.finalize(cascade["1d"]))  # forces the whole 1m->1h->1d chain
-    wall = time.time() - t0
-    print(json.dumps({"phase": "breakdown", "median_s": round(t_median, 3),
-                      "cascade_s": round(wall - t_median, 3)}))
+    # The box's wall-clock noise comes in multi-minute waves (the same
+    # job observed at 107s and 276s an hour apart). One subprocess runs
+    # the timed job ITERS times and reports the MINIMUM: interference
+    # only ever slows an iteration down, so the min over a several-minute
+    # span is the least-interfered observation of this config — far more
+    # noise-robust than a single wall per subprocess.
+    iters = int(os.environ.get("ROLL_BENCH_ITERS", "3"))
+    walls, medians = [], []
+    for _ in range(iters):
+        t0 = time.time()
+        # flagship rollup: exact weighted HF2 rolling median (Arrow
+        # kernels, one columnar batch per conversation) + the
+        # 1m->1h->1d cascade off the same cached scan
+        r = roll_median(slim, "text_len", "conv_id", "turn_idx", width,
+                        weights=wts, min_obs=1, out="q")
+        _noop_write(r)
+        t_median = time.time() - t0
+        cascade = T.cascade(df, "text_len", "ts", "conv_id", tiers=("1m", "1h", "1d"))
+        _noop_write(T.finalize(cascade["1d"]))  # forces the whole 1m->1h->1d chain
+        walls.append(round(time.time() - t0, 3))
+        medians.append(round(t_median, 3))
+    wall = min(walls)
+    best = walls.index(wall)
+    print(json.dumps({"phase": "breakdown", "median_s": medians[best],
+                      "cascade_s": round(wall - medians[best], 3),
+                      "all_iter_walls": walls}))
     # rolled-up points: one median per row + tier rows (deterministic
     # generator: one turn per 2 s per conv -> 30/min, 1800/h, 43200/day)
     n_convs = max(64, rows // 2500)
@@ -171,7 +184,8 @@ def scaling_worker(cpus: int, rows: int) -> None:
     )
     points = rows + tiers_pts
     print(json.dumps({"cpus": cpus, "wall_s": round(wall, 3), "points": points,
-                      "points_per_sec": round(points / wall, 1)}))
+                      "points_per_sec": round(points / wall, 1),
+                      "iter_walls": walls}))
 
 
 def _burn(n: int) -> int:
@@ -214,25 +228,21 @@ def _run_worker(cpus: int, rows: int) -> dict:
 
 
 def run_scaling(rows: int, pairs: int = 3) -> dict:
-    """Run (localN, local4N) back-to-back PAIRS and take the median
-    per-pair efficiency. The box's wall-clock noise comes in multi-minute
-    waves (observed: the same local[8] job at 36s and 96s an hour apart),
-    so measuring all N-core runs then all 4N-core runs lets drift bias
-    the ratio arbitrarily; within one back-to-back pair both sides see
-    the same box, and the ratio cancels the drift."""
+    """Run (localN, local4N) back-to-back PAIRS; each subprocess itself
+    runs the timed job ROLL_BENCH_ITERS times and reports its minimum
+    wall (see scaling_worker), so a single noise wave cannot poison a
+    config's number. The HEADLINE efficiency is the MEDIAN of per-pair
+    efficiencies — the estimator a skeptical reader would pick; the
+    ratio of per-config minima (the least-interfered observation of each
+    config) is reported alongside as the noise-floor estimate."""
     runs = []
     for _ in range(pairs):
         rn = _run_worker(N_CORES, rows)
         r4n = _run_worker(N4_CORES, rows)
         eff = (rn["wall_s"] / r4n["wall_s"]) / (N4_CORES / N_CORES)
         runs.append({"localN": rn, "local4N": r4n, "efficiency": round(eff, 3)})
-    runs.sort(key=lambda r: r["efficiency"])
-    med = runs[len(runs) // 2]
-    # hypervisor interference only ever SLOWS a given config down, so the
-    # per-config minimum wall across all runs is the least-interfered
-    # observation of that config, and the ratio of minima is the cleanest
-    # estimate of the engine's systematic N->4N ratio (a noisy localN run
-    # can inflate a single pair's ratio; min-vs-min cannot).
+    by_eff = sorted(runs, key=lambda r: r["efficiency"])
+    med = by_eff[len(by_eff) // 2]
     walls_n = sorted(r["localN"]["wall_s"] for r in runs)
     walls_4n = sorted(r["local4N"]["wall_s"] for r in runs)
     best_n = min(runs, key=lambda r: r["localN"]["wall_s"])["localN"]
@@ -245,8 +255,11 @@ def run_scaling(rows: int, pairs: int = 3) -> dict:
         "localN": best_n,
         "local4N": best_4n,
         "speedup_n_to_4n": round(walls_n[0] / walls_4n[0], 3),
-        "efficiency": round(eff_min, 3),
+        # headline = median pair efficiency (each pair already
+        # min-of-iters); min-of-min kept as the secondary estimate
+        "efficiency": med["efficiency"],
         "median_pair_efficiency": med["efficiency"],
+        "efficiency_min_of_min": round(eff_min, 3),
         "all_pair_efficiencies": [r["efficiency"] for r in runs],
         "all_walls_localN": walls_n,
         "all_walls_local4N": walls_4n,
@@ -292,21 +305,22 @@ def write_bench_md(timings, total, scaling):
             f"| local[{n4}] | {l4n['wall_s']} | {l4n['points_per_sec']:,} |",
             "",
             f"**Speedup {n} -> {n4} cores: {scaling['speedup_n_to_4n']}x;"
-            f" scaling efficiency: {scaling['efficiency']}**",
+            f" scaling efficiency (median pair): {scaling['efficiency']}**",
             "",
             "Methodology: back-to-back (N, 4N) pairs of fresh subprocess",
-            "runs; efficiency = ratio of PER-CONFIG MINIMUM walls across",
-            "all runs. This box's wall-clock noise comes in multi-minute",
-            "waves (the same job swings up to 2x an hour apart); since",
-            "interference only ever slows a config down, min-vs-min is the",
-            "least-biased estimate of the engine's systematic ratio (a",
-            "noisy localN run would INFLATE a single pair's ratio, so",
-            "best-pair would overstate; median-pair understates whenever a",
-            "wave hits the local4N side). Raw walls this run:",
+            "runs; each subprocess runs the timed job 3x in-process and",
+            "reports its MINIMUM wall (the box's noise comes in",
+            "multi-minute waves — the same job swings up to 2.5x an hour",
+            "apart — and interference only ever slows an iteration down,",
+            "so min-of-iters is the least-interfered observation of that",
+            "config). The HEADLINE efficiency is the MEDIAN of per-pair",
+            "efficiencies; the ratio of per-config minima across all runs",
+            "is reported alongside as the noise-floor estimate. Raw",
+            "min-of-iters walls this run:",
             f"localN {scaling.get('all_walls_localN')} s,",
             f"local4N {scaling.get('all_walls_local4N')} s;",
             f"per-pair efficiencies {scaling.get('all_pair_efficiencies')},",
-            f"median pair {scaling.get('median_pair_efficiency')}.",
+            f"min-of-min {scaling.get('efficiency_min_of_min')}.",
             "",
             "Why N=2: a zero-memory pure-CPU calibration loop (below) shows",
             "this sandbox's 32 vCPUs deliver only ~22 effective cores — ANY",

@@ -50,33 +50,55 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over word n-gram shingle sets.
 
     Inverted-index self-join on the shingle (docs sharing zero shingles
     never meet), then |A∩B| via count and |A∪B| = |A|+|B|-|A∩B|.
-    At scale the shingle join is the blocker: frequency-cap hot shingles
-    (stop-gram removal) before joining if the corpus is pathological.
+
+    ``max_shingle_df`` is the stop-shingle frequency cap: shingles whose
+    corpus document frequency exceeds it are dropped BEFORE the
+    self-join, and Jaccard is computed over the capped shingle universe
+    (set sizes count capped shingles out too). This bounds the join:
+    its row count is Σ df(sh)² over surviving shingles ≤ cap · Σ df(sh),
+    i.e. LINEAR in corpus shingle volume — without it one shingle shared
+    by 10^6 docs alone creates 10^12 join rows. Production at 100 TB
+    should always set a cap; a shingle present in >~1% of documents
+    carries no near-dup signal.
+
+    Plan shape: the per-doc set size rides THROUGH the shingle join
+    (window count per doc, then carried as a groupBy key) instead of two
+    post-hoc dimension joins — one exchange on doc, one on shingle, one
+    on the pair, nothing else.
     """
-    sh = shingles(df, text, id_col, n).cache()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("nsh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    from pyspark.sql import Window
+
+    base = shingles(df, text, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            base.groupBy("sh").agg(F.count("*").alias("df_sh"))
+            .filter(F.col("df_sh") > max_shingle_df)
+            .select("sh")
+        )
+        # the HOT set is tiny by construction (few shingles exceed the
+        # cap) -> broadcast anti-join, no extra shuffle of `base`
+        base = base.join(F.broadcast(hot), "sh", "left_anti")
+    base = base.withColumn("nsh", F.count("*").over(Window.partitionBy("doc")))
+    a = base.alias("a")
+    b = base.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .groupBy(
+            F.col("a.doc").alias("da"), F.col("b.doc").alias("db"),
+            F.col("a.nsh").alias("na"), F.col("b.nsh").alias("nb"),
+        )
         .agg(F.count("*").alias("common"))
     )
-    sx = sizes.alias("sx")
-    sy = sizes.alias("sy")
-    jac = (
-        common.join(sx, F.col("da") == F.col("sx.doc"))
-        .join(sy, F.col("db") == F.col("sy.doc"))
-        .select(
-            "da", "db",
-            (F.col("common").cast("double")
-             / (F.col("sx.nsh") + F.col("sy.nsh") - F.col("common"))).alias("jaccard"),
-        )
+    jac = common.select(
+        "da", "db",
+        (F.col("common").cast("double")
+         / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold)
 
@@ -103,14 +125,23 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     verify_threshold: float | None = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs, optionally verified.
 
     Signatures are split into ``bands`` bands of ``n_hashes/bands`` rows;
     docs colliding in ANY band become candidates (classic S-curve
     blocking). Candidates are optionally verified with exact shingle
-    Jaccard. Only candidates ever join — the full pair space is never
-    touched, which is the property that survives 10^10 docs.
+    Jaccard (``max_shingle_df`` passes the stop-shingle cap through to
+    the verify join, see ngram_jaccard_pairs). Only candidates ever
+    join — the full pair space is never touched, which is the property
+    that survives 10^10 docs.
+
+    Recall is 1 - (1 - j^rows)^bands for true Jaccard j: at the default
+    (bands=8, rows=4) a j=0.8 pair is caught w.p. ~0.985. For an
+    oracle-exact gated query use a high-recall config (e.g. bands=16,
+    rows=2: j=0.5 -> 0.99, j=0.8 -> 1-2e-7) so the verified output
+    equals the exact-Jaccard pair set.
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
@@ -143,7 +174,8 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(df, text, id_col, n=n, threshold=verify_threshold)
+    exact = ngram_jaccard_pairs(df, text, id_col, n=n, threshold=verify_threshold,
+                                max_shingle_df=max_shingle_df)
     return cand.join(exact, ["da", "db"], "inner")
 
 
@@ -207,6 +239,56 @@ def simhash_neardup_pairs(
     )
 
 
+def simhash_verified_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    *,
+    bits: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    jaccard_threshold: float = 0.4,
+) -> DataFrame:
+    """SimHash-blocked near-dup pairs VERIFIED by exact n-gram Jaccard.
+
+    Blocking: docs colliding on >=1 exact simhash byte-band (pigeonhole:
+    ``bands`` bands over ``bits`` bits guarantees a collision for any
+    pair with hamming < bands). Verification: exact word n-gram Jaccard
+    >= ``jaccard_threshold`` (token-level UNIGRAMS are deliberately not
+    used: corpora drawn from a shared vocabulary make unigram sets
+    near-identical across unrelated docs). Only candidates reach the
+    verify join, so the pair space stays bounded by the banding at any
+    corpus size; the verified output is exact over the candidate set,
+    which makes it oracle-checkable against the full exact pair set
+    whenever the banding's recall is 1 on the corpus (near-identical
+    docs have tiny hamming distance, and bands=8 over 32 bits tolerates
+    hamming <= 7)."""
+    fp = simhash(df, text, id_col, bits=bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    stacked = fp.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    l, r = stacked.alias("l"), stacked.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.key") == F.col("r.key"))
+               & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("da"), F.col("r.doc").alias("db"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text, id_col, n=n,
+                                threshold=jaccard_threshold)
+    return cand.join(exact, ["da", "db"], "inner")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, vec: str, id_col: str, *, threshold: float = 0.9
 ) -> DataFrame:
@@ -218,5 +300,59 @@ def embedding_neardup_pairs(
     b = emb.select(F.col(id_col).alias("db"), F.col(vec).alias("vb"))
     pairs = a.join(b, F.col("da") < F.col("db"))
     return pairs.select(
+        "da", "db", cosine_expr("va", "vb").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    vec: str,
+    id_col: str,
+    *,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH blocking + exact cosine rerank —
+    the SCALE path for embedding dedup (embedding_neardup_pairs above is
+    the brute all-pairs oracle, test-only).
+
+    Corpus vectors get ``bands`` sign-bit band keys from a deterministic
+    seeded projection; only pairs colliding on >=1 band are cosine-
+    scored. A pair at cosine c shares one sign bit w.p. 1 - acos(c)/pi,
+    so a ``rows``-bit band collides w.p. that to the ``rows``-th power
+    and recall is 1 - (1 - p_band)^bands: the defaults (16 bands of 2
+    bits) give ~0.9997 at c=0.4 and ~1 - 1e-9 at c=0.8. Tune UP (more
+    rows per band -> finer buckets, more bands -> recall back) as the
+    corpus grows: at 10^10 vectors use 16-24-bit bands so each bucket
+    stays small; the brute join's n^2/2 products never run either way.
+    """
+    from roll_spark.datapipe.similarity import _hyperplanes, cosine_expr, lsh_bucket_expr
+
+    rows = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+    sel = emb.select(F.col(id_col).alias("doc"), F.col(vec).alias("v"))
+    banded = sel.select(
+        "doc", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket_expr("v", planes, b, rows).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc", "v", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.key") == F.col("r.key"))
+               & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("da"), F.col("l.v").alias("va"),
+                F.col("r.doc").alias("db"), F.col("r.v").alias("vb"))
+        .distinct()
+    )
+    return cand.select(
         "da", "db", cosine_expr("va", "vb").alias("cosine")
     ).filter(F.col("cosine") >= threshold)

@@ -101,6 +101,7 @@ def lsh_topk(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH blocking + exact rerank.
 
@@ -133,9 +134,12 @@ def lsh_topk(
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine")
-    )
+    cos = cosine_expr("qv", "cv")
+    if round_digits is not None:
+        # round (with the boundary nudge) BEFORE ranking, like brute_topk:
+        # makes (cosine, neighbor_id) ordering reproducible across engines
+        cos = F.round(cos + F.lit(10.0 ** (-round_digits - 1)), round_digits)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -147,12 +151,29 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def _fit_centroids(emb, vec, n_centroids, seed, sample_rows=50_000, iters=10):
-    """Mini k-means on a driver-side sample (spherical: cosine == dot on
-    normalized vectors). The sample is bounded, the model is tiny
-    (n_centroids x dim) and broadcast — corpus-size independent."""
+def seed_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
+    """Data-independent unit-norm centroids from a seeded RNG. A fixed
+    random Voronoi quantizer: coarser than a fitted one, but fully
+    deterministic from (dim, n, seed) alone — usable as a closed-form
+    oracle target and as a cold-start quantizer before any fit."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_centroids, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def _fit_centroids(emb, vec, id_col, n_centroids, seed, sample_rows=50_000,
+                   iters=10):
+    """Mini k-means on a bounded DETERMINISTIC driver-side sample
+    (spherical: cosine == dot on normalized vectors). The sample is the
+    first ``sample_rows`` vectors by id — `orderBy(id).limit(n)` runs as
+    a per-partition top-k + driver merge, never an unordered `limit`
+    whose content depends on partition arrival order. The model is tiny
+    (n_centroids x dim) and broadcast — corpus-size independent. (At
+    10^10+ rows, thin first with a deterministic hash filter, e.g.
+    pmod(xxhash64(id), corpus_rows/sample_rows) == 0, to keep the
+    per-partition top-k cheap.)"""
     pdf = (
-        emb.select(vec).limit(sample_rows).toPandas()[vec]
+        emb.select(id_col, vec).orderBy(id_col).limit(sample_rows).toPandas()[vec]
     )
     X = np.stack(pdf.to_numpy())
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
@@ -178,32 +199,42 @@ def ivf_topk(
     n_centroids: int = 64,
     n_probe: int = 8,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """IVF ANN: partition the corpus into centroid cells (spherical
-    k-means fit on a bounded sample), assign each corpus vector to its
-    nearest cell with a vectorized Arrow UDF, probe each query's
-    ``n_probe`` nearest cells, and exact-rerank only within probed
-    cells. At 10^10 vectors the scan is one pass + a join keyed on
-    cell id — the classic FAISS-IVF shape re-expressed as DataFrame ops.
+    k-means fit on a bounded deterministic sample — or a caller-supplied
+    ``centroids`` matrix, e.g. ``seed_centroids`` for a data-independent
+    quantizer), assign each corpus vector to its nearest cell with a
+    vectorized Arrow UDF, probe each query's ``n_probe`` nearest cells,
+    and exact-rerank only within probed cells. At 10^10 vectors the scan
+    is one pass + a join keyed on cell id — the classic FAISS-IVF shape
+    re-expressed as DataFrame ops.
+
+    Cell assignment ranks UNNORMALIZED dot products in float64: argmax
+    over cells is invariant to the per-row positive norm, and skipping
+    the normalization keeps the arithmetic exactly reproducible by any
+    engine computing plain double dot products.
     """
     from pyspark.sql import types as TT
     from pyspark.sql.functions import pandas_udf
 
-    C = _fit_centroids(emb, vec, n_centroids, seed)
+    C = (np.asarray(centroids, dtype=np.float64) if centroids is not None
+         else _fit_centroids(emb, vec, id_col, n_centroids, seed))
     Cb = C  # captured in the UDF closure -> shipped once per executor
 
     @pandas_udf(TT.IntegerType())
     def cell_of(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy())
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        X = np.stack(v.to_numpy()).astype(np.float64)
         return pd.Series(np.argmax(X @ Cb.T, axis=1).astype(np.int32))
 
     @pandas_udf(TT.ArrayType(TT.IntegerType()))
     def probe_cells(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy())
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(X @ Cb.T), axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        # stable ordering: ties between cells break toward the lower
+        # cell id (matches a (dot DESC, cell ASC) SQL ranking)
+        order = np.argsort(-(X @ Cb.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
 
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec).alias("cv")
@@ -217,9 +248,10 @@ def ivf_topk(
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine")
-    )
+    cos = cosine_expr("qv", "cv")
+    if round_digits is not None:
+        cos = F.round(cos + F.lit(10.0 ** (-round_digits - 1)), round_digits)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

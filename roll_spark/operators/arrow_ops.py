@@ -31,6 +31,16 @@ from roll_spark.operators.base import Cols, _as_list
 _WIDE_TYPES = (TT.StringType, TT.BinaryType)
 
 
+def _nan_to_none_rows(mat):
+    """(n, k) float matrix -> list of array<double> cells (all-NaN row
+    -> NULL array, NaN element -> NULL element)."""
+    return [
+        None if np.isnan(row).all()
+        else [None if np.isnan(v) else float(v) for v in row]
+        for row in mat
+    ]
+
+
 def _apply_kernel(
     df: DataFrame,
     in_cols: list[str],
@@ -277,11 +287,6 @@ def roll_lm_k(
             X, yv, spec.width, weights=weights,
             min_obs=spec.effective_min_obs, intercept=intercept,
         )
-        def _nan_to_none_rows(mat):
-            return [
-                None if np.isnan(row).all() else [None if np.isnan(v) else float(v) for v in row]
-                for row in mat
-            ]
         out = {
             p + "coef": _nan_to_none_rows(res["coef"]),
             p + "r2": res["r2"],
@@ -302,6 +307,104 @@ def roll_lm_k(
             .drop(p + "coef", p + "se")
         )
     return res
+
+
+def roll_lm_multi(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_cols: Sequence[str],
+    by: Cols,
+    order: Cols,
+    spec: RollSpec,
+    *,
+    intercept: bool = True,
+    out_prefix: str = "lm_",
+) -> DataFrame:
+    """Multi-response rolling OLS: one INDEPENDENT fit per y column,
+    the reference's z-matrix loop (src/roll.cpp:2280-2325 runs roll_lm
+    once per y column and returns a list).
+
+    Each fit applies its own complete-obs mask over (x_cols, that y) —
+    exactly what the reference's per-column loop does — but all fits for
+    a series run inside ONE grouped-map UDF call, so the Arrow exchange
+    and the window materialization cost is paid once, not len(y_cols)
+    times. Output columns: ``{prefix}{y}_coef array<double>,
+    {prefix}{y}_r2, {prefix}{y}_se array<double>`` (+ ``_intercept``,
+    ``_se_intercept`` when intercept=True) per y column.
+    """
+    weights = None if spec.weights is None else np.asarray(spec.weights)
+    x_cols = list(x_cols)
+    y_cols = list(y_cols)
+    p = out_prefix
+
+    fields = []
+    for yc in y_cols:
+        fields += [
+            (f"{p}{yc}_coef", "array<double>"),
+            (f"{p}{yc}_r2", "double"),
+            (f"{p}{yc}_se", "array<double>"),
+        ]
+        if intercept:
+            fields += [
+                (f"{p}{yc}_intercept", "double"),
+                (f"{p}{yc}_se_intercept", "double"),
+            ]
+
+    def kernel(pdf):
+        X = np.column_stack(
+            [pdf[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in x_cols]
+        )
+        out = {}
+        for yc in y_cols:
+            yv = pdf[yc].to_numpy(dtype=np.float64, na_value=np.nan)
+            res = K.conv_lm_k(
+                X, yv, spec.width, weights=weights,
+                min_obs=spec.effective_min_obs, intercept=intercept,
+            )
+            out[f"{p}{yc}_coef"] = _nan_to_none_rows(res["coef"])
+            out[f"{p}{yc}_r2"] = res["r2"]
+            out[f"{p}{yc}_se"] = _nan_to_none_rows(res["se"])
+            if intercept:
+                out[f"{p}{yc}_intercept"] = res["intercept"]
+                out[f"{p}{yc}_se_intercept"] = res["se_intercept"]
+        return out
+
+    return _apply_kernel(df, x_cols + y_cols, by, order, fields, kernel)
+
+
+def roll_cov_xy_matrix(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_cols: Sequence[str],
+    by: Cols,
+    order: Cols,
+    spec: RollSpec,
+    *,
+    out: str = "roll_cov_xy",
+) -> DataFrame:
+    """Rolling k_x x k_y CROSS-covariance cube for an (x, y) matrix pair,
+    flattened row-major into ``array<double>`` of length k_x*k_y — the
+    reference's non-symmetric cube when roll_cov gets two matrices
+    (src/roll.cpp:1661-1679, roll_mat.h:3659). complete_obs across BOTH
+    matrices."""
+    weights = None if spec.weights is None else np.asarray(spec.weights)
+    x_cols = list(x_cols)
+    y_cols = list(y_cols)
+
+    def kernel(pdf):
+        X = np.column_stack(
+            [pdf[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in x_cols]
+        )
+        Y = np.column_stack(
+            [pdf[c].to_numpy(dtype=np.float64, na_value=np.nan) for c in y_cols]
+        )
+        cube = K.conv_cov_xy_matrix(
+            X, Y, spec.width, weights=weights, min_obs=spec.effective_min_obs,
+            center=spec.center,
+        ).reshape(len(X), -1)
+        return {out: [[None if np.isnan(v) else float(v) for v in row] for row in cube]}
+
+    return _apply_kernel(df, x_cols + y_cols, by, order, [(out, "array<double>")], kernel)
 
 
 def roll_cov_matrix(

@@ -180,6 +180,72 @@ def _pair_window_moments(x, y, width, weights):
     return n_obs, sum_w, sumsq_w, ssx, ssy, ssxy, mux_a, muy_a
 
 
+def _matrix_window_moments(M, width, weights):
+    """Exact two-pass weighted co-moments for ALL column pairs of a
+    masked matrix in ONE blocked sweep.
+
+    ``M`` is (n, k) float64 with complete-obs masking already applied:
+    a row excluded from the windows is NaN in EVERY column, so all
+    columns share one observation mask (the reference's any_na row mask,
+    src/roll.cpp:125-155). Returns (n_obs, sum_w, sumsq_w, mu, SS) with
+    mu (n, k) per-window weighted means (constant-window pinned, see
+    _pair_window_moments) and SS (n, k, k) centered co-moment sums
+    sum(w (a - mu_a)(b - mu_b)).
+
+    This replaces k(k+1)/2 + k independent _pair_window_moments passes
+    (each rebuilding the strided windows + mask from scratch) with one
+    mask/weight materialization per block and a single einsum for the
+    k x k co-moment block — the O(k^2) redundancy the round-1 plan audit
+    flagged in conv_lm_k / conv_cov_matrix.
+    """
+    M = np.asarray(M, dtype=np.float64)
+    n, k = M.shape
+    ok_rows = ~np.isnan(M).any(axis=1)
+    pad = np.full(width - 1, np.nan)
+    Mp = np.concatenate([np.tile(pad[:, None], (1, k)),
+                         np.where(ok_rows[:, None], M, np.nan)], axis=0)
+    n_obs = np.empty(n, dtype=np.int64)
+    sum_w = np.empty(n)
+    sumsq_w = np.empty(n)
+    mu = np.empty((n, k))
+    SS = np.empty((n, k, k))
+    wts = _kernel(weights, width)[::-1]  # oldest-first slot weights
+    block = max(_win_block(width) // max(k, 1), 64)
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        m = b1 - b0
+        w0 = np.lib.stride_tricks.sliding_window_view(
+            Mp[b0 : b1 + width - 1, 0], width
+        )
+        okm = ~np.isnan(w0)
+        sw = np.where(okm, wts, 0.0)
+        swsum = sw.sum(axis=1)
+        n_obs[b0:b1] = okm.sum(axis=1)
+        sum_w[b0:b1] = swsum
+        sumsq_w[b0:b1] = (sw * sw).sum(axis=1)
+        dx = np.empty((k, m, width))
+        for j in range(k):
+            wx = w0 if j == 0 else np.lib.stride_tricks.sliding_window_view(
+                Mp[b0 : b1 + width - 1, j], width
+            )
+            xv = np.where(okm, wx, 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                muj = (sw * xv).sum(axis=1) / swsum
+            lo = np.where(okm, wx, np.inf).min(axis=1)
+            hi = np.where(okm, wx, -np.inf).max(axis=1)
+            muj = np.where(lo == hi, lo, muj)
+            mu[b0:b1, j] = muj
+            dx[j] = np.where(okm, wx - muj[:, None], 0.0)
+        wdx = dx * sw[None]
+        SS[b0:b1] = np.einsum("jbw,lbw->bjl", wdx, dx)
+    # exact symmetry (einsum computes both triangles; FP order can differ
+    # at ~eps between (j,l) and (l,j) — mirror the lower triangle, the
+    # reference's own work-halving convention, roll_mat.h:4745)
+    il, jl = np.tril_indices(k)
+    SS[:, jl, il] = SS[:, il, jl]
+    return n_obs, sum_w, sumsq_w, mu, SS
+
+
 def conv_var(x, width, weights=None, min_obs=None, na_restore=False, center=True):
     """Unbiased weighted variance: exact per-window two-pass centered sum
     of squares over the unbiased denominator sum_w - sumsq_w/sum_w, with
@@ -292,34 +358,40 @@ def conv_prod(x, width, weights=None, min_obs=None, na_restore=False):
 
 def _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs):
     """HF2 scan for output rows [b0, b1): sort each width-window, walk the
-    sorted slot weights from the top until mass >= 1-p (roll_vec.h:1994-2091)."""
+    sorted slot weights from the top until mass >= 1-p (roll_vec.h:1994-2091).
+
+    Pass-minimized: NaNs sort last under numpy's float ordering (no
+    masking pre-pass); slot weights come from one table gather through
+    the argsort permutation; the top-down cumulative is derived from the
+    left cumsum (total - cumleft + own) instead of a strided reversed
+    cumsum; the mass>=pp comparison runs on unnormalized weights
+    (cum_top >= pp*total) so the division happens once per row at the
+    selected index, not per cell. Bit-identical to the direct form
+    (property-tested incl. tie-heavy 2-decimal data)."""
     m = b1 - b0
     wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
-    wmat = np.broadcast_to(wts_full, wins.shape)
-    okm = ~np.isnan(wins)
-    n_obs = okm.sum(axis=1)
     # unstable introsort matches the reference's std::sort (stl_sort_index
     # is introsort); ties carry equal values so selection is unaffected
-    order = np.argsort(np.where(okm, wins, np.inf), axis=1)
+    order = np.argsort(wins, axis=1)
     sv = np.take_along_axis(wins, order, axis=1)
-    sw = np.take_along_axis(np.where(okm, wmat, 0.0), order, axis=1)
-    total = sw.sum(axis=1)
-    # cumulative weight from the top (descending values)
-    cum_top = np.cumsum(sw[:, ::-1], axis=1)[:, ::-1]
-    with np.errstate(invalid="ignore", divide="ignore"):
-        mass = cum_top / total[:, None]
-    # smallest index k (in ascending order) with mass[k] >= pp
-    # mass is non-increasing along ascending k; we need the LAST k where
-    # cumulative-from-top >= pp  ==> argmax over reversed condition
-    # only observed slots participate in the scan (NaNs sort to the top
-    # with zero weight and must never be selected)
-    cond = (mass >= pp) & ~np.isnan(sv)
+    nan_mask = np.isnan(sv)
+    n_obs = width - nan_mask.sum(axis=1)
+    sw = np.where(nan_mask, 0.0, wts_full[order])
+    csl = np.cumsum(sw, axis=1)
+    total = csl[:, -1]
+    cum_top = (total[:, None] - csl) + sw
+    # smallest index k (in ascending order) with mass[k] >= pp: mass is
+    # non-increasing along ascending k; we need the LAST k where
+    # cumulative-from-top >= pp ==> argmax over reversed condition.
+    # NaN slots carry zero weight and must never be selected.
+    cond = (cum_top >= pp * total[:, None]) & ~nan_mask
     last_true = width - 1 - np.argmax(cond[:, ::-1], axis=1)
     has_true = cond.any(axis=1)
     k = np.where(has_true, last_true, 0)
     rows = np.arange(m)
     val_hi = sv[rows, k]
-    mass_k = mass[rows, k]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mass_k = cum_top[rows, k] / total
     exact = np.abs(mass_k - pp) <= SQRT_EPS
     k_lo = np.maximum(k - 1, 0)
     val_lo = sv[rows, k_lo]
@@ -385,27 +457,16 @@ def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):
     # row mask, so a constant regressor gives A_jj EXACTLY 0 and hits the
     # singular-system NA path just like arma::solve(no_approx).
     if intercept:
-        Xm = np.where(ok[:, None], X, np.nan)
-        ym = np.where(ok, y, np.nan)
-        A = np.empty((n, k, k))
-        b = np.empty((n, k))
-        mx = np.empty((n, k))
-        for j in range(k):
-            n_obs, sum_w, _, ssj, _, ssjy, muj, _ = _pair_window_moments(
-                Xm[:, j], ym, width, weights
-            )
-            A[:, j, j] = ssj
-            b[:, j] = ssjy
-            mx[:, j] = muj
-            for l in range(j + 1, k):
-                _, _, _, _, _, ssjl, _, _ = _pair_window_moments(
-                    Xm[:, j], Xm[:, l], width, weights
-                )
-                A[:, j, l] = ssjl
-                A[:, l, j] = ssjl
-        n_obs, sum_w, _, var_y, _, _, my, _ = _pair_window_moments(
-            ym, None, width, weights
-        )
+        # one fused blocked sweep over the (X | y) matrix replaces the
+        # k(k+1)/2 + k + 1 independent pair passes (mask + strided views
+        # rebuilt once per block, not once per pair)
+        M = np.where(ok[:, None], np.column_stack([X, y]), np.nan)
+        n_obs, sum_w, _, mu, SS = _matrix_window_moments(M, width, weights)
+        A = SS[:, :k, :k]
+        b = SS[:, :k, k]
+        var_y = SS[:, k, k]
+        mx = mu[:, :k]
+        my = mu[:, k]
     else:
         Xv = np.where(ok[:, None], X, 0.0)
         yv = np.where(ok, y, 0.0)
@@ -538,30 +599,21 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
     min_obs = width if min_obs is None else min_obs
     ok = ~np.isnan(X).any(axis=1)
     okf = ok.astype(np.float64)
-    ss = np.empty((n, k, k))
     if center:
         # exact per-window two-pass centered (co)moments under the
-        # complete_obs row mask (see _pair_window_moments): constant
-        # columns give exactly 0 on the diagonal, so the scale=True eps
-        # gate is the reference's plain absolute eps
+        # complete_obs row mask, all pairs in one fused blocked sweep
+        # (see _matrix_window_moments): constant columns give exactly 0
+        # on the diagonal, so the scale=True eps gate is the reference's
+        # plain absolute eps
         Xm = np.where(ok[:, None], X, np.nan)
-        for j in range(k):
-            n_obs, sum_w, sumsq_w, ssj, _, _, _, _ = _pair_window_moments(
-                Xm[:, j], None, width, weights
-            )
-            ss[:, j, j] = ssj
-            for l in range(j + 1, k):  # lower triangle + mirror
-                _, _, _, _, _, ssjl, _, _ = _pair_window_moments(
-                    Xm[:, j], Xm[:, l], width, weights
-                )
-                ss[:, j, l] = ssjl
-                ss[:, l, j] = ssjl
+        n_obs, sum_w, sumsq_w, _, ss = _matrix_window_moments(Xm, width, weights)
     else:
         Xv = np.where(ok[:, None], X, 0.0)
         h = _kernel(weights, width)
         n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
         sum_w = _rollconv(okf, h)
         sumsq_w = _rollconv(okf, h * h)
+        ss = np.empty((n, k, k))
         for j in range(k):
             for l in range(j, k):
                 c = _rollconv(Xv[:, j] * Xv[:, l], h)
@@ -570,7 +622,7 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
     with np.errstate(invalid="ignore", divide="ignore"):
         denom = (sum_w - sumsq_w / sum_w)[:, None, None]
         gate = (n_obs > 1) & (n_obs >= min_obs)
-        if scale:
+        if scale:  # correlation matrix
             d = np.sqrt(np.einsum("ijj->ij", ss))
             out = ss / (d[:, :, None] * d[:, None, :])
             # eps gate on the raw centered sums of squares (roll_vec.h:4112)
@@ -579,4 +631,42 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
         else:
             out = ss / denom
     out[~gate] = np.nan
+    return out
+
+
+def conv_cov_xy_matrix(X, Y, width, weights=None, min_obs=None, center=True):
+    """Rolling k_x x k_y CROSS-covariance cube for an (x, y) matrix pair —
+    the reference's non-symmetric cube when roll_cov is called with both
+    x and y matrices (allocation src/roll.cpp:1661-1679, kernel
+    roll_mat.h:3659).
+
+    complete_obs=TRUE semantics across BOTH matrices: a row with any
+    missing column in X or Y is excluded from every pair's window
+    (reference any_na over the joined matrix, src/roll.cpp:1625-1659).
+    Returns (n, k_x, k_y) float64 with NaN where gated.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    n, kx = X.shape
+    ky = Y.shape[1]
+    min_obs = width if min_obs is None else min_obs
+    ok = ~np.isnan(X).any(axis=1) & ~np.isnan(Y).any(axis=1)
+    M = np.where(ok[:, None], np.column_stack([X, Y]), np.nan)
+    if center:
+        n_obs, sum_w, sumsq_w, _, SS = _matrix_window_moments(M, width, weights)
+        ss = SS[:, :kx, kx:]
+    else:
+        Mv = np.where(ok[:, None], np.column_stack([X, Y]), 0.0)
+        h = _kernel(weights, width)
+        okf = ok.astype(np.float64)
+        n_obs = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+        sum_w = _rollconv(okf, h)
+        sumsq_w = _rollconv(okf, h * h)
+        ss = np.empty((n, kx, ky))
+        for j in range(kx):
+            for l in range(ky):
+                ss[:, j, l] = _rollconv(Mv[:, j] * Mv[:, kx + l], h)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = ss / (sum_w - sumsq_w / sum_w)[:, None, None]
+    out[~((n_obs > 1) & (n_obs >= min_obs))] = np.nan
     return out

@@ -55,6 +55,12 @@ def _dispatch_weighted(op: str):
     return getattr(arrow_ops, op)
 
 
+# Widest window the native collect_list/array_sort quantile may take:
+# beyond this the per-row sorted array's JVM heap + CPU cost loses to the
+# Arrow kernel's blocked sort, and at 10^4+ it is an OOM risk outright.
+QUANTILE_NATIVE_MAX_WIDTH = 256
+
+
 # ---------------------------------------------------------------------------
 # single-series ops
 # ---------------------------------------------------------------------------
@@ -255,9 +261,15 @@ def roll_quantile(
     p=0 / p=1 short-circuit to roll_min / roll_max, mirroring the
     reference's endpoint specialization (src/roll.cpp:864-894).
 
-    Native path materializes the sorted window per row (O(w log w));
-    fine for moderate widths. Large widths / weighted quantiles go
-    through the Arrow dual-multiset kernel.
+    Native path materializes the sorted window per row
+    (``F.array_sort(F.collect_list(...))`` inside WindowExec): O(w log w)
+    CPU and O(w) JVM heap PER OUTPUT ROW — fine for moderate widths,
+    an executor OOM at width 10^4-10^5 (an hour of ticks) regardless of
+    weights. Widths above ``QUANTILE_NATIVE_MAX_WIDTH`` therefore route
+    to the Arrow kernel path even under equal weights, mirroring the
+    reference's own algorithm dispatch (src/roll.cpp:864-894): the
+    numpy kernel is row-blocked with a fixed memory budget, so width
+    only scales compute, never peak memory.
     """
     if p == 0.0:
         return roll_min(df, value, by, order, width, min_obs=min_obs,
@@ -266,7 +278,7 @@ def roll_quantile(
         return roll_max(df, value, by, order, width, min_obs=min_obs,
                         na_restore=na_restore, out=out)
     spec = _spec(width, min_obs, complete_obs, na_restore, weights, p=p)
-    if not spec.is_equal_weight:
+    if not spec.is_equal_weight or width > QUANTILE_NATIVE_MAX_WIDTH:
         return _dispatch_weighted("roll_quantile")(df, value, by, order, spec, out=out)
     w = rolling_window(by, order, width)
     v = F.col(value)
