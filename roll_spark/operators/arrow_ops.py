@@ -13,9 +13,19 @@ boundary once as a columnar batch.
 Skewed series (one conversation with 10^9 turns) do NOT fit this model;
 they go through roll_spark.operators.chunked which splits a series into
 overlap-padded chunks that this module's kernels evaluate independently.
+
+DATA CONTRACT (all roll_* entry points, both paths): the (by, order)
+key tuple — e.g. (conv_id, turn_idx) / (user_id, ts) — must be UNIQUE
+and NON-NULL per row. The wide-frame join-back rejoins kernel outputs
+on exactly these keys: a NULL order key never matches (its outputs
+silently become NULL) and duplicate keys fan out. Set
+ROLL_SPARK_DEBUG_KEYS=1 to fail loudly instead: the join-back then
+asserts key uniqueness/non-nullness per group before joining.
 """
 
 from __future__ import annotations
+
+import os
 
 from collections.abc import Sequence
 
@@ -99,10 +109,27 @@ def _apply_kernel(
         + [TT.StructField(n, TT._parse_datatype_string(t)) for n, t in out_fields]
     )
 
+    debug_keys = os.environ.get("ROLL_SPARK_DEBUG_KEYS") == "1"
+
     def fn(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(order_cols, kind="stable")
+        if debug_keys:
+            keys = pdf[order_cols]
+            if keys.isna().any().any():
+                raise ValueError(
+                    "roll_spark data contract violated: NULL order key in "
+                    f"series group (order cols {order_cols}); NULL keys "
+                    "never match the join-back and would silently NULL "
+                    "their kernel outputs"
+                )
+            if keys.duplicated().any():
+                raise ValueError(
+                    "roll_spark data contract violated: duplicate "
+                    f"(by, order) key in series group (order cols "
+                    f"{order_cols}); duplicates fan out in the join-back"
+                )
         res = kernel(pdf)
         data = {c: pdf[c].to_numpy() for c in by_l + order_l}
         data.update(res)

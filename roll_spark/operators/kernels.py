@@ -670,3 +670,193 @@ def conv_cov_xy_matrix(X, Y, width, weights=None, min_obs=None, center=True):
         out = ss / (sum_w - sumsq_w / sum_w)[:, None, None]
     out[~((n_obs > 1) & (n_obs >= min_obs))] = np.nan
     return out
+
+
+def online_sum(x, width, weights=None, min_obs=None, na_restore=False,
+               state: dict | None = None):
+    """Lambda-recursion weighted sum (reference RollSumOnlineVec,
+    roll_vec.h:383-511), with chunk-boundary ``state`` like online_mean."""
+    x = np.asarray(x, dtype=np.float64)
+    min_obs = width if min_obs is None else min_obs
+    w = np.ones(width) if weights is None else np.asarray(weights, dtype=np.float64)[-width:]
+    lam = 1.0 if width == 1 or len(w) < 2 else w[-2] / w[-1]
+    n = len(x)
+    out = np.full(n, np.nan)
+    if state is None:
+        sum_x = 0.0
+        n_obs = 0
+        hist = []
+    else:
+        sum_x, n_obs, hist = state["sum_x"], state["n_obs"], list(state["hist"])
+    for i in range(n):
+        xi = x[i]
+        is_na = np.isnan(xi)
+        sum_x = lam * sum_x
+        if not is_na:
+            n_obs += 1
+            sum_x += w[-1] * xi
+        hist.append(xi)
+        if len(hist) > width:
+            old = hist.pop(0)
+            if not np.isnan(old):
+                n_obs -= 1
+                sum_x -= lam * w[0] * old
+        if (not na_restore or not is_na) and n_obs >= min_obs:
+            out[i] = sum_x
+    return out, {"sum_x": sum_x, "n_obs": n_obs, "hist": hist[-width:]}
+
+
+def online_var(x, width, min_obs=None, na_restore=False,
+               state: dict | None = None):
+    """Equal-weight online variance: Welford insert + reverse-Welford
+    eviction (the reference's online kernel keeps the same running
+    (mean, M2) pair in long doubles, roll_vec.h:2114-2425). The engine's
+    production path is the exact two-pass conv_var; this sequential twin
+    exists to (a) prove online == offline the way the reference's test
+    suite does and (b) carry state across chunk/stream boundaries."""
+    x = np.asarray(x, dtype=np.float64)
+    min_obs = width if min_obs is None else min_obs
+    n = len(x)
+    out = np.full(n, np.nan)
+    if state is None:
+        n_obs, mean, M2 = 0, 0.0, 0.0
+        hist = []
+    else:
+        n_obs, mean, M2 = state["n_obs"], state["mean"], state["M2"]
+        hist = list(state["hist"])
+    for i in range(n):
+        xi = x[i]
+        is_na = np.isnan(xi)
+        if not is_na:
+            n_obs += 1
+            d = xi - mean
+            mean += d / n_obs
+            M2 += d * (xi - mean)
+        hist.append(xi)
+        if len(hist) > width:
+            old = hist.pop(0)
+            if not np.isnan(old):
+                if n_obs == 1:
+                    n_obs, mean, M2 = 0, 0.0, 0.0
+                else:
+                    d = old - mean
+                    mean = (n_obs * mean - old) / (n_obs - 1)
+                    M2 -= d * (old - mean)
+                    n_obs -= 1
+        if (not na_restore or not is_na) and n_obs >= max(min_obs, 2):
+            v = M2 / (n_obs - 1)
+            out[i] = v if v > EPS else (0.0 if v > -EPS else np.nan)
+    return out, {"n_obs": n_obs, "mean": mean, "M2": M2, "hist": hist[-width:]}
+
+
+def online_cov(x, y, width, min_obs=None, na_restore=False,
+               state: dict | None = None):
+    """Equal-weight online covariance: bivariate Welford co-moment with
+    eviction (reference RollCovOnlineVecXY, roll_vec.h:3801-4152;
+    pairwise-complete rows only)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    min_obs = width if min_obs is None else min_obs
+    n = len(x)
+    out = np.full(n, np.nan)
+    if state is None:
+        n_obs, mx, my, C = 0, 0.0, 0.0, 0.0
+        hist = []
+    else:
+        n_obs, mx, my, C = state["n_obs"], state["mx"], state["my"], state["C"]
+        hist = list(state["hist"])
+    for i in range(n):
+        xi, yi = x[i], y[i]
+        ok = not (np.isnan(xi) or np.isnan(yi))
+        if ok:
+            n_obs += 1
+            dx = xi - mx
+            mx += dx / n_obs
+            my += (yi - my) / n_obs
+            C += dx * (yi - my)
+        hist.append((xi, yi))
+        if len(hist) > width:
+            ox, oy = hist.pop(0)
+            if not (np.isnan(ox) or np.isnan(oy)):
+                if n_obs == 1:
+                    n_obs, mx, my, C = 0, 0.0, 0.0, 0.0
+                else:
+                    dx = ox - mx
+                    mx = (n_obs * mx - ox) / (n_obs - 1)
+                    my_new = (n_obs * my - oy) / (n_obs - 1)
+                    C -= dx * (oy - my_new)
+                    my = my_new
+                    n_obs -= 1
+        if (not na_restore or not (np.isnan(xi) or np.isnan(yi))) \
+                and n_obs >= max(min_obs, 2):
+            out[i] = C / (n_obs - 1)
+    return out, {"n_obs": n_obs, "mx": mx, "my": my, "C": C, "hist": hist[-width:]}
+
+
+def online_quantile(x, width, p, min_obs=None, na_restore=False,
+                    state: dict | None = None):
+    """EQUAL-WEIGHT online rolling quantile via the reference's dual
+    multiset (RollQuantileOnlineVec, roll_vec.h:1694-1953): a `lower`
+    set holding the smallest m order statistics and an `upper` set
+    holding the rest, rebalanced as the window slides, so each row costs
+    one O(log w) search + an O(w)-memmove splice (Python lists stand in
+    for std::multiset: the search is bisect, the splice is a C memmove —
+    in practice far below the offline kernel's O(w log w) sort per row).
+
+    Exponential/arbitrary weights intentionally revert to the offline
+    kernel, exactly like the reference (the commented-out block at
+    roll_vec.h:1735-1760 documents that its online quantile is
+    equal-weight only). Emission is HF2, identical to conv_quantile:
+    c = max(1, ceil(n(1-p))), hi = sorted[n-c], averaged with
+    sorted[n-c-1] on an exact mass tie.
+    """
+    from bisect import bisect_right, insort
+
+    x = np.asarray(x, dtype=np.float64)
+    min_obs = width if min_obs is None else min_obs
+    n = len(x)
+    out = np.full(n, np.nan)
+    if state is None:
+        lower: list = []   # smallest m observed values, sorted
+        upper: list = []   # the rest, sorted
+        hist = []
+    else:
+        lower, upper = list(state["lower"]), list(state["upper"])
+        hist = list(state["hist"])
+    pp = 1.0 - p
+    for i in range(n):
+        xi = x[i]
+        is_na = np.isnan(xi)
+        if not is_na:
+            if lower and xi <= lower[-1]:
+                insort(lower, xi)
+            else:
+                insort(upper, xi)
+        hist.append(xi)
+        if len(hist) > width:
+            old = hist.pop(0)
+            if not np.isnan(old):
+                j = bisect_right(lower, old) - 1
+                if 0 <= j < len(lower) and lower[j] == old:
+                    del lower[j]
+                else:
+                    j = bisect_right(upper, old) - 1
+                    del upper[j]
+        n_obs = len(lower) + len(upper)
+        if n_obs:
+            c = max(1, int(np.ceil(n_obs * pp - 1e-12)))
+            m = n_obs - c + 1  # lower must hold the m smallest
+            while len(lower) < m:
+                v = upper.pop(0)
+                lower.append(v)
+            while len(lower) > m:
+                v = lower.pop()
+                insort(upper, v)
+        if (not na_restore or not is_na) and n_obs >= max(min_obs, 1):
+            hi = lower[-1]
+            exact = abs(c / n_obs - pp) <= SQRT_EPS
+            if exact and len(lower) >= 2:
+                out[i] = (hi + lower[-2]) / 2.0
+            else:
+                out[i] = hi
+    return out, {"lower": lower, "upper": upper, "hist": hist[-width:]}

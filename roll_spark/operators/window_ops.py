@@ -16,6 +16,13 @@ Scale notes (100 TB): the only shuffle is hashpartitioning(series key);
 all ops below reuse the same (partition, sort) so Catalyst collapses
 them into a single WindowExec; skewed series are handled by the chunked
 overlap path in roll_spark.operators.chunked.
+
+DATA CONTRACT: every roll_* op requires the (by, order) key tuple —
+e.g. (conv_id, turn_idx) / (user_id, ts) — to be UNIQUE and NON-NULL
+per row. Window ordering over duplicate or NULL order keys is
+ill-defined, and the Arrow path's wide-frame join-back relies on the
+keys to re-align kernel outputs (see roll_spark.operators.arrow_ops;
+ROLL_SPARK_DEBUG_KEYS=1 asserts the contract at runtime).
 """
 
 from __future__ import annotations

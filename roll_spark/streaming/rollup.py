@@ -46,7 +46,7 @@ def stream_rollup_raw(
     by: Cols,
     tier: str,
     *,
-    watermark: str = "10 minutes",
+    watermark: str | None = None,
     bucket_out: str = "bucket_ts",
 ) -> DataFrame:
     """Streaming raw -> tier sufficient stats (same columns as
@@ -56,7 +56,19 @@ def stream_rollup_raw(
     Structured Streaming tracks for state eviction — rather than
     ``date_trunc``; ``window.start`` is identical to the batch
     ``date_trunc`` bucket for aligned durations.
+
+    The WATERMARK IS A CORRECTNESS CONTRACT, not a tuning knob: any
+    event arriving in a later micro-batch more than ``watermark`` behind
+    the observed max event time is silently dropped, and the store then
+    does NOT equal the batch recomputation this module promises. For a
+    continuous stream, size it to the source's maximum event-time
+    disorder. For availableNow backfills over unordered files there is
+    no safe small value — ``watermark=None`` therefore defaults to a
+    drain-safe 3650 days (state is bounded by the drain itself, so the
+    huge watermark costs nothing).
     """
+    if watermark is None:
+        watermark = "3650 days"
     v = F.col(value)
     n = F.count(v)
     first_struct = F.min(F.when(v.isNotNull(), F.struct(F.col(ts).alias("t"), v.alias("v"))))
@@ -82,9 +94,15 @@ def stream_rollup_raw(
 
 
 class TierStore:
-    """Parquet-backed store of one tier's sufficient statistics with an
-    exact idempotent merge. Local-FS tmp-swap keeps read/overwrite of
-    the same path safe; production form is an Iceberg MERGE INTO."""
+    """Parquet-backed store of one tier's sufficient statistics,
+    DAY-PARTITIONED (`_day=YYYY-MM-DD/` directories) with an exact
+    idempotent merge that rewrites ONLY the days a micro-batch touches —
+    O(batch event-time span), never O(store history). Day swaps are
+    rename-aside (`day -> day__old; new -> day; rm day__old`), so a
+    crash at any point leaves at least one complete copy of every day;
+    ``read`` heals interrupted swaps. Production form on an object
+    store is an Iceberg MERGE INTO keyed on (series, bucket_ts) over the
+    same day partitioning."""
 
     def __init__(self, spark: SparkSession, path: str, by: Cols, tier: str):
         self.spark = spark
@@ -92,30 +110,98 @@ class TierStore:
         self.by = _as_list(by)
         self.tier = tier
 
+    # -- layout helpers ----------------------------------------------------
+
+    def _day_dirs(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return [d for d in os.listdir(self.path) if d.startswith("_day=")]
+
+    def _recover(self) -> None:
+        """Heal an interrupted swap: a ``_day=D__old`` with no ``_day=D``
+        means the crash hit between the two renames — the old copy is
+        complete, restore it. With both present the new copy is fully
+        written — drop the old one."""
+        if not os.path.isdir(self.path):
+            return
+        for d in os.listdir(self.path):
+            if not d.endswith("__old"):
+                continue
+            old = os.path.join(self.path, d)
+            live = os.path.join(self.path, d[: -len("__old")])
+            if os.path.exists(live):
+                shutil.rmtree(old)
+            else:
+                os.replace(old, live)
+
     def read(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
+        self._recover()
+        days = self._day_dirs()
+        if not days:
             return None
-        return self.spark.read.parquet(self.path)
+        return (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*[os.path.join(self.path, d) for d in days])
+            .drop("_day")
+        )
+
+    def _read_days(self, days: list[str]) -> DataFrame | None:
+        """Read only the given day partitions (partition pruning by
+        construction: untouched days' files are never opened)."""
+        self._recover()
+        paths = [
+            os.path.join(self.path, f"_day={d}")
+            for d in days
+            if os.path.exists(os.path.join(self.path, f"_day={d}"))
+        ]
+        if not paths:
+            return None
+        return (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*paths)
+            .drop("_day")
+        )
 
     def upsert(self, updated: DataFrame) -> None:
         """Replace the store's rows for every (series, bucket) key present
         in ``updated`` — update-mode rows are cumulative aggregates, so
         replacement (not moment-merging) is the exact operation, and
-        replaying a micro-batch is a no-op (idempotent recovery)."""
-        cur = self.read()
+        replaying a micro-batch is a no-op (idempotent recovery). Only
+        the day partitions present in the batch are read, rewritten and
+        swapped; every other day's files are untouched."""
         cols = [*self.by, "bucket_ts", *T.STAT_COLS]
-        new = updated.select(*cols)
+        new = updated.select(*cols).withColumn(
+            "_day", F.date_format("bucket_ts", "yyyy-MM-dd")
+        )
+        days = sorted(r[0] for r in new.select("_day").distinct().collect())
+        if not days:
+            return
+        cur = self._read_days(days)
         if cur is not None:
             keys = [*self.by, "bucket_ts"]
-            kept = cur.select(*cols).join(
-                new.select(*keys), on=keys, how="left_anti"
+            kept = cur.join(new.select(*keys), on=keys, how="left_anti").withColumn(
+                "_day", F.date_format("bucket_ts", "yyyy-MM-dd")
             )
-            new = kept.unionByName(new)
+            new = kept.select(new.columns).unionByName(new)
         tmp = self.path + "__tmp"
-        new.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.replace(tmp, self.path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        new.write.partitionBy("_day").mode("overwrite").parquet(tmp)
+        os.makedirs(self.path, exist_ok=True)
+        for d in days:
+            src = os.path.join(tmp, f"_day={d}")
+            dst = os.path.join(self.path, f"_day={d}")
+            old = dst + "__old"
+            if not os.path.exists(src):
+                # key-only day with every row replaced away cannot happen
+                # (new rows always carry their own day); guard anyway
+                continue
+            if os.path.exists(dst):
+                os.replace(dst, old)
+            os.replace(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(tmp)
 
 
 def run_stream_to_tier(
@@ -129,7 +215,7 @@ def run_stream_to_tier(
     tier: str = "1m",
     store_path: str,
     checkpoint_dir: str,
-    watermark: str = "10 minutes",
+    watermark: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Consume a parquet directory as a stream and fold it into a tier
@@ -138,7 +224,13 @@ def run_stream_to_tier(
 
     Emits in update mode via foreachBatch so windows still above the
     watermark are upserted too — the store converges to the exact batch
-    answer once the source is drained.
+    answer once the source is drained, PROVIDED no event was dropped by
+    the watermark along the way. Parquet files drain in no particular
+    event-time order, so ``watermark=None`` (the default) uses the
+    drain-safe 3650-day value — see ``stream_rollup_raw``. Pass an
+    explicit watermark ONLY for continuous sources, sized to the
+    source's max event-time disorder; a too-small value silently drops
+    late rows and breaks the store == batch-recompute equivalence.
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -168,7 +260,7 @@ def cascade_from_store(
 ) -> dict[str, DataFrame]:
     """Derive coarser tiers from a streamed finest-tier store with the
     batch Chan-merge cascade."""
-    cur = spark.read.parquet(store_path)
+    cur = TierStore(spark, store_path, by, "1m").read()
     out: dict[str, DataFrame] = {}
     for tier in tiers:
         cur = T.merge_tier(cur, by, tier)

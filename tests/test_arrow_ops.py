@@ -254,3 +254,65 @@ def test_per_turn_text_equality_through_arrow_pipeline(spark):
     for r in after_rows:
         seen.setdefault(r[0], []).append(r[1])
     assert all(v == sorted(v) == list(range(len(v))) for v in seen.values())
+
+
+# ---------------------------------------------------------------------------
+# round 2: multi-response lm, quantile width dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_roll_lm_multi_equals_per_y_fits(grid_df):
+    """One grouped-map pass fitting [y, x-as-second-response] must equal
+    two independent roll_lm_k runs (the reference's per-column loop,
+    src/roll.cpp:2280-2325) — including each fit's OWN NA mask."""
+    from pyspark.sql import functions as F
+
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_lm_k, roll_lm_multi
+    from tests.conftest import collect_all
+
+    spec = RollSpec(width=5, min_obs=5)
+    base = grid_df.withColumn("i_d", F.col("i").cast("double"))
+    multi = roll_lm_multi(base, ["i_d"], ["x", "y"], "series_id", "i", spec)
+    multi = multi.withColumn("cx", F.col("lm_x_coef")[0]).withColumn(
+        "cy", F.col("lm_y_coef")[0]
+    )
+    single_x = roll_lm_k(base, ["i_d"], "x", "series_id", "i", spec,
+                         out_prefix="sx_").withColumn("c", F.col("sx_coef")[0])
+    single_y = roll_lm_k(base, ["i_d"], "y", "series_id", "i", spec,
+                         out_prefix="sy_").withColumn("c", F.col("sy_coef")[0])
+    for got_col, single, r2c, sr2 in (
+        ("cx", single_x, "lm_x_r2", "sx_r2"),
+        ("cy", single_y, "lm_y_r2", "sy_r2"),
+    ):
+        got = collect_all(multi, got_col)
+        want = collect_all(single, "c")
+        for name in got:
+            assert np.allclose(got[name], want[name], equal_nan=True, atol=0), (
+                got_col, name)
+        got_r2 = collect_all(multi, r2c)
+        want_r2 = collect_all(single, sr2)
+        for name in got_r2:
+            assert np.allclose(got_r2[name], want_r2[name], equal_nan=True, atol=0)
+
+
+def test_quantile_width_dispatch(grid_df):
+    """Equal weights + width above QUANTILE_NATIVE_MAX_WIDTH must route
+    to the Arrow kernel (no per-row collect_list/array_sort in the
+    plan); at-or-below stays on the native WindowExec path."""
+    from roll_spark.operators.window_ops import (
+        QUANTILE_NATIVE_MAX_WIDTH,
+        roll_quantile,
+    )
+
+    small = roll_quantile(grid_df, "x", "series_id", "i",
+                          QUANTILE_NATIVE_MAX_WIDTH, 0.5, min_obs=1, out="q")
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan_small
+    assert "FlatMapGroupsInPandas" not in plan_small
+
+    big = roll_quantile(grid_df, "x", "series_id", "i",
+                        QUANTILE_NATIVE_MAX_WIDTH + 1, 0.5, min_obs=1, out="q")
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan_big
+    assert "FlatMapGroupsInPandas" in plan_big

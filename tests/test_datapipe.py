@@ -184,3 +184,110 @@ def test_bpe_token_stats_matches_python(spark, docs):
     for _, row in pdf.iterrows():
         want = len(pat.findall(row["text"]))
         assert got.loc[row["doc_id"], "bpe_tokens"] == want, row["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# round 2: shingle cap, verified blocking paths, deterministic IVF
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One ubiquitous shingle must not blow up the inverted self-join:
+    with the cap it is dropped BEFORE the join, Jaccard is computed over
+    the capped universe, and the join size is bounded by cap * volume."""
+    import pandas as pd
+
+    # 30 docs all sharing the stop-gram "a b c"; docs 0/1 and 2/3 are
+    # true near-dups beyond it
+    rows = []
+    for i in range(30):
+        uniq = f"u{i} v{i} w{i} x{i}"
+        if i in (1, 3):
+            uniq = f"u{i-1} v{i-1} w{i-1} x{i}"
+        rows.append((i, f"a b c {uniq}"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.15,
+                                 max_shingle_df=5)
+    got = {(r["da"], r["db"]): round(r["jaccard"], 9) for r in capped.collect()}
+    # python oracle over the CAPPED universe
+    pdf = {i: _py_shingles(t) for i, t in rows}
+    from collections import Counter
+    df_count = Counter(sh for s in pdf.values() for sh in s)
+    pdf = {i: {sh for sh in s if df_count[sh] <= 5} for i, s in pdf.items()}
+    want = {}
+    for a in range(30):
+        for b in range(a + 1, 30):
+            if not pdf[a] or not pdf[b]:
+                continue
+            inter = len(pdf[a] & pdf[b])
+            if not inter:
+                continue
+            j = inter / (len(pdf[a]) + len(pdf[b]) - inter)
+            if j >= 0.15:
+                want[(a, b)] = round(j, 9)
+    assert got == want and len(got) >= 2
+    # without the cap the stop-gram alone creates C(30,2)=435 join rows;
+    # with it the surviving join is only the true-dup shingles
+    uncapped = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.01)
+    assert uncapped.count() == 435
+    assert len(got) < 10
+
+
+def test_simhash_verified_pairs_equal_exact(spark, docs):
+    """SimHash-banded candidates + exact trigram verify must equal the
+    full exact pair set (banding recall 1 on near-identical docs)."""
+    from roll_spark.datapipe.dedup import simhash_verified_pairs
+
+    got = {(r["da"], r["db"]) for r in
+           simhash_verified_pairs(docs, "text", "doc_id",
+                                  jaccard_threshold=0.5).collect()}
+    want = {(r["da"], r["db"]) for r in
+            ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_embedding_neardup_lsh_equals_brute(spark, emb):
+    """The LSH-bucketed near-dup path must lose nothing vs the brute
+    all-pairs join at its operating threshold."""
+    from roll_spark.datapipe.dedup import embedding_neardup_lsh
+
+    got = {(r["da"], r["db"]) for r in
+           embedding_neardup_lsh(emb, "embedding", "vec_id",
+                                 threshold=0.4).collect()}
+    want = {(r["da"], r["db"]) for r in
+            embedding_neardup_pairs(emb, "embedding", "vec_id",
+                                    threshold=0.4).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_ivf_fit_deterministic(spark, emb):
+    """Two cold fits + searches must produce IDENTICAL results — the
+    centroid sample is ordered, never an unordered limit()."""
+    from roll_spark.datapipe.similarity import _fit_centroids, ivf_topk
+
+    C1 = _fit_centroids(emb, "embedding", "vec_id", 8, seed=7)
+    C2 = _fit_centroids(emb.repartition(7), "embedding", "vec_id", 8, seed=7)
+    assert np.array_equal(C1, C2), "fit depends on partition layout"
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = sorted(map(tuple, ivf_topk(emb, queries, k=3, n_centroids=8,
+                                    n_probe=4, seed=7).collect()))
+    r2 = sorted(map(tuple, ivf_topk(emb.repartition(5), queries, k=3,
+                                    n_centroids=8, n_probe=4, seed=7).collect()))
+    assert r1 == r2
+
+
+def test_ivf_seeded_centroids_recall(spark, emb):
+    """The data-independent seeded quantizer (oracle-gated variant) still
+    reaches usable recall with n_probe=6 of 16 cells."""
+    from roll_spark.datapipe.similarity import ivf_topk, seed_centroids
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {r["query_id"]: r["neighbor_id"] for r in
+             brute_topk(emb, queries, k=1, round_digits=None).collect()}
+    approx = {r["query_id"]: r["neighbor_id"] for r in
+              ivf_topk(emb, queries, k=1, n_centroids=16, n_probe=6,
+                       centroids=seed_centroids(64, 16, 42)).collect()}
+    hits = sum(1 for q, n in brute.items() if approx.get(q) == n)
+    assert hits / len(brute) >= 0.6, f"top-1 recall {hits}/{len(brute)}"

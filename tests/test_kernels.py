@@ -176,3 +176,57 @@ def test_online_mean_state_carry():
         out2, _ = K.online_mean(x[17:], width, min_obs=1, state=st)
         got = np.concatenate([out1, out2])
         assert_close(got, full, f"state carry w={width}")
+
+
+# ---------------------------------------------------------------------------
+# fused matrix moments + cross-covariance cube (round 2)
+# ---------------------------------------------------------------------------
+
+
+def test_matrix_moments_match_pair_moments(grid_pairs):
+    """The fused all-pairs blocked sweep must reproduce the per-pair
+    two-pass moments it replaced (same mask, same mean pinning)."""
+    for name, (x, y) in grid_pairs.items():
+        M = np.column_stack([x, y])
+        ok = ~np.isnan(M).any(axis=1)
+        Mm = np.where(ok[:, None], M, np.nan)
+        for width in (2, 5, 10):
+            for wts in (None, 0.9 ** np.arange(2 * width, 0, -1.0)):
+                n_obs, sum_w, sumsq_w, mu, SS = K._matrix_window_moments(
+                    Mm, width, wts
+                )
+                pn, psw, psq, ssx, ssy, ssxy, mux, muy = K._pair_window_moments(
+                    Mm[:, 0], Mm[:, 1], width, wts
+                )
+                assert (n_obs == pn).all(), (name, width)
+                assert np.allclose(SS[:, 0, 0], ssx, equal_nan=True, atol=1e-10)
+                assert np.allclose(SS[:, 1, 1], ssy, equal_nan=True, atol=1e-10)
+                assert np.allclose(SS[:, 0, 1], ssxy, equal_nan=True, atol=1e-10)
+                assert np.allclose(SS[:, 1, 0], SS[:, 0, 1], equal_nan=True,
+                                   atol=0, rtol=0), "mirror must be exact"
+                assert np.allclose(mu[:, 0], mux, equal_nan=True, atol=1e-12)
+
+
+def test_cov_xy_matrix_equals_stacked_symmetric_block(grid_pairs):
+    """The (x, y) cross-cov cube must equal the off-diagonal block of the
+    symmetric cube over the stacked columns (same complete-obs mask)."""
+    for name, (x, y) in grid_pairs.items():
+        X = np.column_stack([x, y])
+        Y = np.column_stack([2.0 * x + 1.0])
+        for wts in (None, np.arange(1.0, 6.0)):
+            xy = K.conv_cov_xy_matrix(X, Y, 5, weights=wts, min_obs=3)
+            full = K.conv_cov_matrix(np.column_stack([X, Y]), 5, weights=wts,
+                                     min_obs=3)
+            assert np.allclose(xy, full[:, :2, 2:], equal_nan=True, atol=1e-10), name
+
+
+def test_cov_xy_matrix_constant_column_gates():
+    """A constant y column yields exactly-zero cross moments (two-pass
+    mean pinning), never NaN from cancellation."""
+    x = np.arange(30, dtype=np.float64)
+    X = np.column_stack([x, x * x])
+    Y = np.full((30, 1), 7.0)
+    out = K.conv_cov_xy_matrix(X, Y, 5, min_obs=5)
+    body = out[4:]
+    assert np.isfinite(body).all()
+    assert np.allclose(body, 0.0, atol=0)

@@ -1,0 +1,106 @@
+"""Online == offline dual-path equivalence — the reference's own test
+strategy (tests/testthat/test-roll.R checks every op both ways), plus
+the chunk-boundary state-carry contract the streaming/skew paths use.
+
+Offline = the vectorized conv_* kernels (production Arrow path);
+online = the sequential O(1)-or-O(log w)-per-row recursions mirroring
+the reference's online family (roll_vec.h:383, :2114, :3801, :1694).
+Co-moment recursions accumulate ~kappa*eps differences vs the exact
+two-pass offline kernels, so var/cov compare at 5e-8; sum and the
+dual-multiset quantile are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from roll_spark.operators import kernels as K
+
+WIDTHS = (1, 2, 3, 5, 10, 15)
+
+
+def _same(a, b, atol=0.0):
+    mask = np.isnan(a) & np.isnan(b)
+    if atol == 0.0:
+        return ((a == b) | mask).all()
+    return np.allclose(a, b, equal_nan=True, atol=atol, rtol=0)
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+def test_online_sum_equals_offline(grid_series, width):
+    for name, x in grid_series.items():
+        for mo in (1, max(1, width // 2), width):
+            got, _ = K.online_sum(x, width, min_obs=mo)
+            want = K.conv_sum(x, width, min_obs=mo)
+            assert _same(got, want, atol=1e-9), (name, width, mo)
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+def test_online_var_equals_offline(grid_series, width):
+    for name, x in grid_series.items():
+        for mo in (2, width):
+            got, _ = K.online_var(x, width, min_obs=mo)
+            want = K.conv_var(x, width, min_obs=max(mo, 2))
+            assert _same(got, want, atol=5e-8), (name, width, mo)
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+def test_online_cov_equals_offline(grid_pairs, width):
+    for name, (x, y) in grid_pairs.items():
+        got, _ = K.online_cov(x, y, width, min_obs=2)
+        want = K.conv_cov(x, y, width, min_obs=2)
+        assert _same(got, want, atol=5e-8), (name, width)
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+@pytest.mark.parametrize("p", (0.1, 0.25, 0.5, 0.75, 0.9))
+def test_online_quantile_equals_offline(grid_series, width, p):
+    """The dual-multiset online quantile is EXACT vs the offline sort —
+    same HF2 selection, same tie-averaging (roll_vec.h:1694-1953)."""
+    for name, x in grid_series.items():
+        for mo in (1, width):
+            got, _ = K.online_quantile(x, width, p, min_obs=mo)
+            want = K.conv_quantile(x, width, p, min_obs=mo)
+            assert _same(got, want), (name, width, p, mo)
+
+
+def test_online_quantile_tie_heavy_long_series():
+    rng = np.random.default_rng(97)
+    x = np.round(rng.normal(100, 5, 3000), 1)  # heavy ties
+    x[rng.random(3000) < 0.15] = np.nan
+    for width, p in ((7, 0.5), (40, 0.25), (200, 0.9)):
+        got, _ = K.online_quantile(x, width, p, min_obs=1)
+        want = K.conv_quantile(x, width, p, min_obs=1)
+        assert _same(got, want), (width, p)
+
+
+@pytest.mark.parametrize("splits", [(137,), (50, 260), (1, 2, 3)])
+def test_state_carry_across_chunks(splits):
+    """Evaluating a series in arbitrary chunks with carried state must
+    equal the single-pass answer — the contract the skew/streaming
+    paths rely on."""
+    rng = np.random.default_rng(31)
+    x = np.round(rng.normal(100, 20, 400), 2)
+    x[rng.random(400) < 0.2] = np.nan
+    y = np.round(rng.normal(50, 10, 400), 2)
+    bounds = [0, *splits, 400]
+    for fn, args, atol in (
+        (K.online_sum, (), 1e-9),
+        (K.online_var, (), 1e-9),
+        (K.online_quantile, (0.5,), 0.0),
+    ):
+        for width in (3, 10, 64):
+            whole, _ = fn(x, width, *args, min_obs=1)
+            st, parts = None, []
+            for lo, hi in zip(bounds, bounds[1:]):
+                seg, st = fn(x[lo:hi], width, *args, min_obs=1, state=st)
+                parts.append(seg)
+            assert _same(whole, np.concatenate(parts), atol=atol), (fn.__name__, width)
+    for width in (3, 10, 64):
+        whole, _ = K.online_cov(x, y, width, min_obs=2)
+        st, parts = None, []
+        for lo, hi in zip(bounds, bounds[1:]):
+            seg, st = K.online_cov(x[lo:hi], y[lo:hi], width, min_obs=2, state=st)
+            parts.append(seg)
+        assert _same(whole, np.concatenate(parts), atol=1e-9), width

@@ -19,7 +19,14 @@ SERIES = arrays(
     np.float64,
     st.integers(1, 60),
     elements=st.one_of(
-        st.floats(-1e6, 1e6, allow_nan=False, width=64),
+        # |x| < ~1e-154 makes x^2 underflow to SUBNORMAL: a squared
+        # moment like 1e-319 keeps ~4 significant bits, so any two
+        # float64 implementations legitimately disagree at ~1e-5
+        # relative — snap that regime to exact 0 (the mirror of
+        # test_prod's overflow clip at the other end of the range)
+        st.floats(-1e6, 1e6, allow_nan=False, width=64).map(
+            lambda v: 0.0 if abs(v) < 1e-150 else v
+        ),
         st.just(0.0),
         st.just(np.nan),
     ),

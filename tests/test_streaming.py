@@ -79,7 +79,72 @@ def test_store_upsert_idempotent(spark, raw_dir, tmp_path):
     stats = T.rollup_raw(raw, "text_len", "ts", "conv_id", "1m")
     store = TierStore(spark, store_path, "conv_id", "1m")
     store.upsert(stats)
-    once = _stats_pdf(spark.read.parquet(store_path))
+    once = _stats_pdf(store.read())
     store.upsert(stats)  # replay
-    twice = _stats_pdf(spark.read.parquet(store_path))
+    twice = _stats_pdf(store.read())
     _assert_tier_equal(twice, once)
+
+
+def test_store_upsert_touches_only_batch_days(spark, raw_dir, tmp_path):
+    """An upsert whose rows fall in ONE day must leave every other day
+    partition's files byte-for-byte untouched — the property that makes
+    the merge O(batch), not O(store history)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store_path = str(tmp_path / "tier_store_days")
+    raw = spark.read.parquet(raw_dir)
+    stats = T.rollup_raw(raw, "text_len", "ts", "conv_id", "1m")
+    store = TierStore(spark, store_path, "conv_id", "1m")
+    store.upsert(stats)
+    days = sorted(d for d in os.listdir(store_path) if d.startswith("_day="))
+    assert len(days) >= 2, "fixture must span multiple days"
+    target_day = days[0].split("=", 1)[1]
+
+    def snapshot(skip_day):
+        out = {}
+        for d in os.listdir(store_path):
+            if not d.startswith("_day=") or d == f"_day={skip_day}":
+                continue
+            for root, _, files in os.walk(os.path.join(store_path, d)):
+                for f in sorted(files):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = snapshot(target_day)
+    one_day = stats.filter(
+        F.date_format("bucket_ts", "yyyy-MM-dd") == target_day
+    )
+    store.upsert(one_day)
+    assert snapshot(target_day) == before
+    # and the store still equals the full recomputation (replacement of
+    # one day's cumulative rows is a no-op)
+    _assert_tier_equal(_stats_pdf(store.read()), _stats_pdf(stats))
+
+
+def test_store_read_heals_interrupted_swap(spark, raw_dir, tmp_path):
+    """A crash between the two renames of a day swap leaves only
+    ``_day=D__old`` — read() must restore it, never return an empty or
+    partial store."""
+    import os
+    import shutil
+
+    store_path = str(tmp_path / "tier_store_crash")
+    raw = spark.read.parquet(raw_dir)
+    stats = T.rollup_raw(raw, "text_len", "ts", "conv_id", "1m")
+    store = TierStore(spark, store_path, "conv_id", "1m")
+    store.upsert(stats)
+    want = _stats_pdf(store.read())
+    day_dir = sorted(
+        d for d in os.listdir(store_path) if d.startswith("_day=")
+    )[0]
+    live = os.path.join(store_path, day_dir)
+    # simulate the crash window: the live copy was renamed aside and the
+    # replacement never landed
+    os.replace(live, live + "__old")
+    healed = _stats_pdf(store.read())
+    _assert_tier_equal(healed, want)
+    assert os.path.exists(live) and not os.path.exists(live + "__old")

@@ -30,13 +30,21 @@ EXPECT = {
     "roll_lm_w20": dict(max_exchange=1, max_sort=1, max_window=2),
     "expanding_mean": dict(max_exchange=1, max_sort=1),
     "roll_mean_exp_w10": dict(max_exchange=1),       # Arrow path: one groupBy
+    "roll_median_w400": dict(max_exchange=1),        # large width -> Arrow path
     "roll_cov_matrix_w10": dict(max_exchange=3),     # window(lag) + groupBy + join-back
+    "roll_cov_xy_w10": dict(max_exchange=3),         # window(lag/lead) + groupBy + join-back
+    "roll_lm_multiy_w20": dict(max_exchange=3),      # one grouped-map pass for BOTH fits
     "tier_1m_stats": dict(max_exchange=1, max_sort=0),
     "tier_1h_cascade": dict(max_exchange=2, max_sort=0),  # raw->1m, 1m->1h
     "tier_1d_cascade": dict(max_exchange=3, max_sort=0),
     "ann_brute_top5": dict(expect_broadcast=True),
     "lsh_ann_top5": dict(expect_broadcast=True),
+    "ivf_ann_top5": dict(expect_broadcast=True),
     "dedup_exact": dict(max_exchange=1, max_sort=0),
+    # inverted-index self-join: doc-window + shingle self-join + pair agg;
+    # NEVER a cartesian (no BroadcastNestedLoopJoin over the corpus)
+    "ngram_jaccard_pairs": dict(max_exchange=8, forbid_cartesian=True),
+    "emb_neardup_lsh": dict(max_exchange=8, forbid_cartesian=True),
 }
 
 
@@ -56,13 +64,25 @@ def audit(name: str, df, rules: dict) -> list[str]:
         errs.append(f"{n_win} Window nodes (budget {rules['max_window']})")
     if rules.get("expect_broadcast") and not has_bcast:
         errs.append("no broadcast join found (small side should broadcast)")
-    # column pruning: events scans must not read props/event_type unless used
-    for m in re.finditer(r"FileScan parquet \[([^\]]*)\].*?ReadSchema", plan):
+    if rules.get("forbid_cartesian") and (
+        "CartesianProduct" in plan
+        or re.search(r"BroadcastNestedLoopJoin .*Inner", plan)
+    ):
+        errs.append("plan contains a cartesian/nested-loop product")
+    # column pruning: EVENTS scans must not read props/event_type unless
+    # used — match the table path inside each FileScan entry so scans of
+    # other tables in the same plan are never mis-audited
+    scan_count = 0
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\][^\n]*", plan):
+        scan_count += 1
+        line = m.group(0)
         cols = m.group(1)
-        if "events" not in plan:
+        if "events" not in line:
             continue
         if "props" in cols and "props" not in name:
-            errs.append(f"scan reads pruned-out column props: [{cols}]")
+            errs.append(f"events scan reads pruned-out column props: [{cols}]")
+    if scan_count == 0:
+        errs.append("no FileScan matched — pruning audit saw nothing")
     return errs
 
 
