@@ -231,6 +231,55 @@ def q_tier_1d_cascade(spark, sf_dir):
     )
 
 
+def q_tier_1m_from_chunks(spark, sf_dir):
+    """Cold-tier path: raw -> Gorilla chunk blobs (delta-of-delta ts +
+    XOR values, one blob per series-day) -> decode -> 1m rollup. The
+    oracle recomputes 1m from raw directly, so the driver hash proves
+    the compression round-trip is EXACT (bit-for-bit doubles,
+    microsecond timestamps) through the whole tier pipeline."""
+    from roll_spark.plans.chunks import compress_series, decompress_series
+
+    ev = _events(spark, sf_dir)
+    chunks = compress_series(ev, "value", "ts", "user_id", bucket="day")
+    restored = decompress_series(chunks, "user_id")
+    stats = T.finalize(T.rollup_raw(restored, "value", "ts", "user_id", "1m"))
+    return stats.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
+def q_stream_tier_1m(spark, sf_dir):
+    """Structured Streaming path: drain the events parquet as an
+    availableNow stream (bounded micro-batches) into a day-partitioned
+    TierStore, then read the store back. The oracle recomputes 1m from
+    raw in batch — the driver hash proves stream == batch through
+    micro-batching, update-mode upserts, and the store's swap layout."""
+    import tempfile
+
+    from roll_spark.streaming.rollup import TierStore, run_stream_to_tier
+
+    base = tempfile.mkdtemp(prefix="roll_stream_gate_")
+    ev = _events(spark, sf_dir)
+    # the file-stream source consumes a DIRECTORY; lay the events out as
+    # several files so availableNow produces several real micro-batches
+    ev.repartition(4).write.mode("overwrite").parquet(f"{base}/src")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    run_stream_to_tier(
+        spark, f"{base}/src", schema, "value", "ts", "user_id",
+        tier="1m", store_path=f"{base}/store",
+        checkpoint_dir=f"{base}/ckpt", max_files_per_trigger=1,
+    )
+    store = TierStore(spark, f"{base}/store", "user_id", "1m")
+    stats = T.finalize(store.read())
+    return stats.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
 def q_gapfill_locf_1h(spark, sf_dir):
     stats = T.finalize(T.rollup_raw(_events(spark, sf_dir), "value", "ts", "user_id", "1h"))
     filled = T.gapfill(stats, "user_id", "1h", value="mean_x", method="locf")
@@ -611,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1m_stats": q_tier_1m_stats,
         "tier_1h_cascade": q_tier_1h_cascade,
         "tier_1d_cascade": q_tier_1d_cascade,
+        "tier_1m_from_chunks": q_tier_1m_from_chunks,
+        "stream_tier_1m": q_stream_tier_1m,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
@@ -1384,6 +1435,10 @@ def oracle_sql() -> dict[str, str]:
         "tier_1m_stats": _TIER_STATS.format(unit="minute"),
         "tier_1h_cascade": _TIER_STATS.format(unit="hour"),
         "tier_1d_cascade": _TIER_STATS.format(unit="day"),
+        # the compression and streaming paths must reproduce the exact
+        # batch 1m rollup -> same oracle as tier_1m_stats
+        "tier_1m_from_chunks": _TIER_STATS.format(unit="minute"),
+        "stream_tier_1m": _TIER_STATS.format(unit="minute"),
         "gapfill_locf_1h": """
             WITH stats AS (
               SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS mean_x

@@ -48,6 +48,7 @@ HEADLINE = [
     "roll_lm_w20",
     "expanding_mean",
     "roll_mean_exp_w10",   # weighted Arrow-kernel family
+    "roll_median_w400",    # large-width dispatch -> Arrow blocked sort
     "roll_lm2_w20",        # k-regressor rolling XtX/Xty family
     "roll_cov_matrix_w10", # cube-output family
     "tier_1m_stats",
@@ -57,6 +58,13 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_brute_top5",
 ]
+# emb_neardup_lsh is gated for CORRECTNESS at sf0.01 (blocking loses
+# nothing vs brute) but deliberately not a headline query: this corpus
+# has no pairs above cosine 0.51, so its gate runs at threshold 0.4 —
+# an operating point where sign-bit LSH cannot prune (2-bit bands keep
+# recall ~1 but collide most of the corpus). The scale win of the
+# banded path appears at real near-dup thresholds (0.9+, 16-24-bit
+# bands); see the embedding_neardup_lsh docstring.
 
 
 def _noop_write(df) -> None:

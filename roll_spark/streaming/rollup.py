@@ -69,6 +69,11 @@ def stream_rollup_raw(
     """
     if watermark is None:
         watermark = "3650 days"
+    # watermarks require TIMESTAMP; TIMESTAMP_NTZ sources reinterpret as
+    # session-TZ instants (the engine pins the session to UTC, so this
+    # matches the batch path's date_trunc bucketing exactly)
+    if dict(sdf.dtypes).get(ts) == "timestamp_ntz":
+        sdf = sdf.withColumn(ts, F.col(ts).cast("timestamp"))
     v = F.col(value)
     n = F.count(v)
     first_struct = F.min(F.when(v.isNotNull(), F.struct(F.col(ts).alias("t"), v.alias("v"))))

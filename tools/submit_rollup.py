@@ -79,7 +79,17 @@ def main() -> None:
         out = T.finalize(prev)
         if args.gapfill != "none":
             out = T.gapfill(out, args.series, tier, method=args.gapfill)
-        (out.write.mode("overwrite")
+        # range-partitioned write: files partitioned by event-time day
+        # (partition pruning for time-range reads at any store size) and
+        # range-clustered by (series, bucket) inside each day so a
+        # single series' buckets are contiguous — the same layout
+        # TierStore maintains incrementally
+        from pyspark.sql import functions as F
+
+        day = F.date_format("bucket_ts", "yyyy-MM-dd").alias("_day")
+        (out.withColumn("_day", day)
+            .repartitionByRange(args.series, "bucket_ts")
+            .write.partitionBy("_day").mode("overwrite")
             .parquet(f"{args.output.rstrip('/')}/tier={tier}"))
         print(f"tier {tier}: {out.count()} rows -> {args.output}/tier={tier}",
               flush=True)
