@@ -430,6 +430,57 @@ def q_roll_lm_multiy_w20(spark, sf_dir):
     )
 
 
+def q_roll_cor_matrix_w10(spark, sf_dir):
+    """k=2 rolling CORRELATION matrix per row (reference roll_cor on
+    matrix input — the scale=True cube, roll_mat.h:3314 family); oracle
+    checks the off-diagonal via masked corr with the raw-sumsq eps
+    gates."""
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_cov_matrix
+
+    df = roll_cov_matrix(
+        _with_lag(spark, sf_dir), ["value", "value_lag"], "user_id", "ts",
+        RollSpec(width=10, min_obs=5), scale=True, out="m",
+    )
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("m")[1]).alias("rxy"),
+    )
+
+
+def q_roll_var_uncentered_w10(spark, sf_dir):
+    """center=False variance: raw second moment about zero over n-1
+    (reference center=FALSE branch, roll_vec.h:2171-2186)."""
+    df = roll_var(_events(spark, sf_dir), "value", "user_id", "ts", 10,
+                  min_obs=5, center=False, out="s")
+    # uncentered second moments sit at ~1e4 magnitude: cross-engine FP
+    # noise reaches ~1e-10 relative = ~1e-6 absolute, so a 3-decimal
+    # round can straddle; 2 decimals with a 1e-3 nudge dominates it
+    return df.select("user_id", "ts", F.round(F.col("s") + 1e-3, 2).alias("uvar10"))
+
+
+def q_roll_mean_bykey_w10(spark, sf_dir):
+    """Composite series key (user_id, event_type): one hash exchange on
+    BOTH key columns — segmented sub-series roll up independently, the
+    shape long-transcript engines need for per-(conv, tool) series."""
+    df = roll_mean(_events(spark, sf_dir), "value",
+                   ["user_id", "event_type"], "ts", 10, min_obs=3, out="s")
+    return df.select("user_id", "event_type", "ts", _r6(F.col("s")).alias("kmean10"))
+
+
+def q_tier_1m_p50(spark, sf_dir):
+    """Per-bucket EXACT interpolated median in the tier rollup — the
+    non-mergeable statistic tiers carry alongside the Chan-mergeable
+    moments (recomputed per tier from raw, not cascaded)."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id", F.date_trunc("minute", F.col("ts")).alias("bucket_ts"))
+        .agg(F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+             F.count("*").alias("n"))
+    )
+    return out.select("user_id", "bucket_ts", "n", _r6("p50").alias("p50"))
+
+
 def q_roll_mean_chunked_w10(spark, sf_dir):
     """Skew path: overlap-padded chunked evaluation (chunk_rows=25) must
     equal the plain rolling mean — same oracle as roll_mean_w10."""
@@ -654,6 +705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_median_w400": q_roll_median_w400,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
         "roll_lm_multiy_w20": q_roll_lm_multiy_w20,
+        "roll_cor_matrix_w10": q_roll_cor_matrix_w10,
+        "roll_var_uncentered_w10": q_roll_var_uncentered_w10,
+        "roll_mean_bykey_w10": q_roll_mean_bykey_w10,
+        "tier_1m_p50": q_tier_1m_p50,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "latency_roll_mean_w10": q_latency_roll_mean_w10,
@@ -1332,6 +1387,45 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + CASE WHEN b2 IS NOT NULL AND V2 > 2.220446049250313e-16
                     THEN b2*S2*b2/V2 END, 6) AS r2_y2
             FROM e""",
+        "roll_cor_matrix_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS vl
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                CASE WHEN vl IS NOT NULL THEN value END AS x,
+                CASE WHEN value IS NOT NULL THEN vl END AS y
+              FROM t
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(x) OVER ({_W10}) >= 5
+                         AND count(x) OVER ({_W10}) > 1
+                         AND var_samp(x) OVER ({_W10})
+                             * (count(x) OVER ({_W10}) - 1) > 2.220446049250313e-16
+                         AND var_samp(y) OVER ({_W10})
+                             * (count(x) OVER ({_W10}) - 1) > 2.220446049250313e-16
+                    THEN corr(x, y) OVER ({_W10}) END, 6) AS rxy
+            FROM m""",
+        "roll_var_uncentered_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1e-3 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                         AND count(value) OVER ({_W10}) > 1
+                    THEN sum(value * value) OVER ({_W10})
+                         / (count(value) OVER ({_W10}) - 1) END, 2) AS uvar10
+            FROM events""",
+        "roll_mean_bykey_w10": """
+            SELECT user_id, event_type, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER w >= 3
+                    THEN avg(value) OVER w END, 6) AS kmean10
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+        "tier_1m_p50": """
+            SELECT user_id, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_ts,
+                   count(*) AS n,
+                   ROUND(1e-7 + quantile_cont(value, 0.5), 6) AS p50
+            FROM events GROUP BY 1, 2""",
         "roll_quantile_exp_w10": f"""
             WITH win AS (
               SELECT user_id, ts, list(value) OVER ({_W10}) AS l FROM events
