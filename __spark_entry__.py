@@ -640,6 +640,47 @@ def q_emb_neardup_lsh(spark, sf_dir):
     return out.select("da", "db", _r6(F.col("cosine")).alias("cosine"))
 
 
+def q_emb_neardup_lsh_scale(spark, sf_dir):
+    """The banded near-dup path at its REAL operating point: threshold
+    0.9 with strong 8-bit bands (4 x 8 planes), which actually prunes —
+    each band splits the corpus into ~256 buckets, and only same-bucket
+    pairs are scored. The corpus is the driver table augmented with 50
+    exact duplicates (vec_id + 100000), derived deterministically in
+    both engines, so the expected output is exactly the 50 planted pairs
+    and recall is 1 by construction (identical vectors share every band
+    key). The oracle recomputes the brute pair join over the same
+    augmented corpus."""
+    from roll_spark.datapipe.dedup import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 50).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dup)
+    out = embedding_neardup_lsh(corpus, "embedding", "vec_id",
+                                threshold=0.9, n_planes=32, bands=4)
+    return out.select("da", "db", _r6(F.col("cosine")).alias("cosine"))
+
+
+def q_roll_lm_nointercept_w20(spark, sf_dir):
+    """intercept=FALSE rolling OLS: raw (uncentered) normal equations
+    (reference intercept branch, src/roll.cpp:2095-2107)."""
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_lm_k
+
+    ow = ordered_window("user_id", "ts")
+    ev = _events(spark, sf_dir).withColumn(
+        "rn", F.row_number().over(ow).cast("double")
+    )
+    df = roll_lm_k(ev, ["rn"], "value", "user_id", "ts",
+                   RollSpec(width=20, min_obs=20), intercept=False)
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("lm_coef")[0]).alias("beta0"),
+        _r6(F.col("lm_r2")).alias("r2_0"),
+    )
+
+
 def q_lsh_ann_top5(spark, sf_dir):
     """Hyperplane-LSH ANN. The projection planes are literal constants
     from a seeded RNG, so the WHOLE computation (sign-bit band keys ->
@@ -710,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_mean_bykey_w10": q_roll_mean_bykey_w10,
         "tier_1m_p50": q_tier_1m_p50,
         "emb_neardup_lsh": q_emb_neardup_lsh,
+        "emb_neardup_lsh_scale": q_emb_neardup_lsh_scale,
+        "roll_lm_nointercept_w20": q_roll_lm_nointercept_w20,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "latency_roll_mean_w10": q_latency_roll_mean_w10,
         "tier_1m_stats": q_tier_1m_stats,
@@ -999,6 +1042,42 @@ def _datapipe_oracles() -> dict[str, str]:
                    ROUND(1e-7 + {_COS}, 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_COS} >= 0.4""",
+        # strong-band LSH on the duplicate-augmented corpus must find
+        # exactly the planted pairs the brute join finds
+        "emb_neardup_lsh_scale": f"""
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings
+              WHERE vec_id < 50
+            )
+            SELECT a.vec_id AS da, b.vec_id AS db,
+                   ROUND(1e-7 + {_COS}, 6) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.9""",
+        "roll_lm_nointercept_w20": f"""
+            WITH t AS (
+              SELECT user_id, ts, value AS y,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS x
+              FROM events
+            ), s AS (
+              SELECT user_id, ts,
+                count(y) OVER ({_W20}) AS n,
+                sum(x*x) OVER ({_W20}) AS sxx,
+                sum(x*y) OVER ({_W20}) AS sxy,
+                sum(y*y) OVER ({_W20}) AS syy
+              FROM t
+            ), e AS (
+              SELECT user_id, ts, n, sxx, syy,
+                CASE WHEN n >= 20 AND sxx != 0 THEN sxy/sxx END AS beta0
+              FROM s
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + beta0, 6) AS beta0,
+              ROUND(1e-7 + CASE WHEN beta0 IS NOT NULL
+                          AND syy > 2.220446049250313e-16
+                    THEN beta0*beta0*sxx/syy END, 6) AS r2_0
+            FROM e""",
         "lsh_ann_top5": _lsh_oracle_sql(),
         "ivf_ann_top5": _ivf_oracle_sql(),
         "emb_neardup_pairs": f"""

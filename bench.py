@@ -56,6 +56,7 @@ HEADLINE = [
     "gapfill_locf_1h",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "emb_neardup_lsh_scale",  # banded near-dup at its pruning operating point
     "ann_brute_top5",
 ]
 # emb_neardup_lsh is gated for CORRECTNESS at sf0.01 (blocking loses

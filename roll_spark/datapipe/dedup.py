@@ -341,24 +341,25 @@ def embedding_neardup_lsh(
     corpus grows: at 10^10 vectors use 16-24-bit bands so each bucket
     stays small; the brute join's n^2/2 products never run either way.
     """
-    from roll_spark.datapipe.similarity import _hyperplanes, cosine_expr, lsh_bucket_expr
+    from roll_spark.datapipe.similarity import (
+        _hyperplanes,
+        cosine_expr,
+        lsh_band_keys_udf,
+    )
 
     rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
     sel = emb.select(F.col(id_col).alias("doc"), F.col(vec).alias("v"))
-    # the banded self-join and the distinct run over BARE id pairs —
+    # band keys come from ONE Arrow matmul per batch (the verified >=
+    # threshold output is insensitive to candidate-set perturbation, so
+    # the matmul fast path is safe here — see lsh_band_keys_udf); the
+    # banded self-join and the distinct then run over BARE id pairs —
     # the dim-wide vectors never enter the exploded/joined/deduped
     # intermediates; they rejoin once per surviving candidate pair
-    banded = sel.select(
-        "doc",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_bucket_expr("v", planes, b, rows).alias("key"),
-            )
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("doc", "bk.band", "bk.key")
+    keys_udf = lsh_band_keys_udf(planes, bands, rows)
+    banded = (
+        sel.select("doc", F.posexplode(keys_udf(F.col("v"))).alias("band", "key"))
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band"))

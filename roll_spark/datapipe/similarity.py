@@ -90,6 +90,34 @@ def lsh_bucket_expr(vec: str, planes: list[list[float]], band: int, rows: int) -
     return key
 
 
+def lsh_band_keys_udf(planes: list[list[float]], bands: int, rows: int):
+    """Vectorized band-key computation: ONE (batch x dim) @ (dim x planes)
+    matmul per Arrow batch instead of bands*rows interpreted
+    zip_with/aggregate lambdas per row (~10x less CPU at corpus scan
+    time). Returns a pandas_udf producing the array of ``bands`` keys.
+
+    Sign boundaries: matmul association can differ from a sequential
+    fold by ~1 ulp, flipping a bit only when |dot| ~ 1e-16 — use this
+    for threshold-verified pipelines (where candidate-set perturbation
+    cannot change the verified output), and keep the fold-exact
+    ``lsh_bucket_expr`` where an external replica recomputes the keys.
+    """
+    from pyspark.sql import types as TT
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights_bits = np.array([1 << r for r in range(rows)], dtype=np.int64)
+
+    @pandas_udf(TT.ArrayType(TT.IntegerType()))
+    def band_keys(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (X @ P >= 0).astype(np.int64)          # (n, bands*rows)
+        keys = bits.reshape(len(X), bands, rows) @ weights_bits
+        return pd.Series(list(keys.astype(np.int32)))
+
+    return band_keys
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
