@@ -62,6 +62,14 @@ def _dispatch_weighted(op: str):
     return getattr(arrow_ops, op)
 
 
+def _check_positive_weights(weights, op: str) -> None:
+    if weights is not None and any(w <= 0 for w in weights):
+        raise ValueError(
+            f"{op}: weights must be positive (order statistics are only "
+            "weight-invariant for positive weights)"
+        )
+
+
 # Widest window the native collect_list/array_sort quantile may take:
 # beyond this the per-row sorted array's JVM heap + CPU cost loses to the
 # Arrow kernel's blocked sort, and at 10^4+ it is an OOM risk outright.
@@ -163,9 +171,17 @@ def roll_min(
     min_obs: int | None = None,
     complete_obs: bool = False,
     na_restore: bool = False,
+    weights: Sequence[float] | None = None,
     out: str = "roll_min",
 ) -> DataFrame:
-    """Rolling min (reference monotonic-deque kernel, roll_vec.h:1018-1106)."""
+    """Rolling min (reference monotonic-deque kernel, roll_vec.h:1018-1106).
+
+    The reference routes roll_min as roll_quantile(p=0) and accepts
+    weights (R/roll.R:251); for positive weights the order statistic is
+    weight-invariant, so the native F.min path applies unchanged —
+    non-positive weights (which WOULD change mass-based selection) are
+    rejected, mirroring the reference's weight check."""
+    _check_positive_weights(weights, "roll_min")
     spec = _spec(width, min_obs, complete_obs, na_restore, None)
     w = rolling_window(by, order, width)
     v = F.col(value)
@@ -182,9 +198,11 @@ def roll_max(
     min_obs: int | None = None,
     complete_obs: bool = False,
     na_restore: bool = False,
+    weights: Sequence[float] | None = None,
     out: str = "roll_max",
 ) -> DataFrame:
-    """Rolling max (roll_vec.h:1181-1270)."""
+    """Rolling max (roll_vec.h:1181-1270). Weights as in roll_min."""
+    _check_positive_weights(weights, "roll_max")
     spec = _spec(width, min_obs, complete_obs, na_restore, None)
     w = rolling_window(by, order, width)
     v = F.col(value)
@@ -280,10 +298,10 @@ def roll_quantile(
     """
     if p == 0.0:
         return roll_min(df, value, by, order, width, min_obs=min_obs,
-                        na_restore=na_restore, out=out)
+                        na_restore=na_restore, weights=weights, out=out)
     if p == 1.0:
         return roll_max(df, value, by, order, width, min_obs=min_obs,
-                        na_restore=na_restore, out=out)
+                        na_restore=na_restore, weights=weights, out=out)
     spec = _spec(width, min_obs, complete_obs, na_restore, weights, p=p)
     if not spec.is_equal_weight or width > QUANTILE_NATIVE_MAX_WIDTH:
         return _dispatch_weighted("roll_quantile")(df, value, by, order, spec, out=out)

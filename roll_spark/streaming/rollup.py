@@ -38,6 +38,24 @@ from roll_spark.plans import tiers as T
 
 _WINDOW_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 
+_DURATION_US = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+}
+
+
+def _parse_duration_us(s: str) -> int:
+    """Parse a Spark CalendarInterval-style delay ('10 minutes') to µs."""
+    amount, unit = s.strip().split()
+    return int(amount) * _DURATION_US[unit.rstrip("s").lower()]
+
+
+def _us(ts) -> int:
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=ts.tzinfo)
+    return int((ts - epoch).total_seconds() * 1_000_000)
+
 
 def stream_rollup_raw(
     sdf: DataFrame,
@@ -244,17 +262,56 @@ def run_stream_to_tier(
     stats = stream_rollup_raw(sdf, value, ts, by, tier, watermark=watermark)
     store = TierStore(spark, store_path, by, tier)
 
+    # The watermark is a correctness contract: an event arriving more
+    # than ``watermark`` behind the observed max event time lands after
+    # its window's state may have been EVICTED, so the re-aggregated
+    # update holds only the late rows and the upsert would REPLACE a
+    # complete bucket with a partial one (or, depending on the Spark
+    # version, the row is dropped outright — either way the store no
+    # longer equals the batch recomputation). Spark's own
+    # numRowsDroppedByWatermark metric misses the partial-re-aggregation
+    # mode, so the merge loop enforces the contract itself: refuse any
+    # micro-batch whose oldest touched bucket is older than the
+    # watermark horizon behind the newest bucket seen so far.
+    delta_us = _parse_duration_us(watermark or "3650 days")
+    seen = {"max": None, "violation": None}
+
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lo, hi = batch_df.agg(
+            F.min("bucket_ts"), F.max("bucket_ts")
+        ).first()
+        if lo is not None:
+            if seen["max"] is not None and _us(lo) < _us(seen["max"]) - delta_us:
+                seen["violation"] = (
+                    f"stream_to_tier: micro-batch {batch_id} touches bucket "
+                    f"{lo}, older than the watermark horizon "
+                    f"({watermark or 'default'} behind {seen['max']}); its "
+                    "state may have been evicted and the upsert would "
+                    "corrupt the store. Use a watermark covering the "
+                    "source's max event-time disorder (or the drain-safe "
+                    "default for backfills)."
+                )
+                raise RuntimeError(seen["violation"])
+            if seen["max"] is None or hi > seen["max"]:
+                seen["max"] = hi
         store.upsert(batch_df)
 
-    (
+    q = (
         stats.writeStream.outputMode("update")
         .foreachBatch(_merge_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    try:
+        q.awaitTermination()
+    except Exception as e:
+        # foreachBatch runs in THIS driver process, so the closure flag
+        # survives the py4j round-trip even though the wrapped
+        # StreamingQueryException truncates the original message
+        if seen["violation"] is not None:
+            raise RuntimeError(seen["violation"]) from e
+        raise
 
 
 def cascade_from_store(

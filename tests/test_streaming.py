@@ -148,3 +148,50 @@ def test_store_read_heals_interrupted_swap(spark, raw_dir, tmp_path):
     healed = _stats_pdf(store.read())
     _assert_tier_equal(healed, want)
     assert os.path.exists(live) and not os.path.exists(live + "__old")
+
+
+def test_small_watermark_fails_loudly(spark, tmp_path):
+    """An event arriving beyond the watermark horizon lands after its
+    window's state may have been evicted — depending on the Spark
+    version it is silently dropped OR re-aggregated partially, and
+    either way the store would no longer equal the batch recomputation.
+    The ingest must RAISE, never return a silently-wrong store (the
+    watermark-as-correctness-contract guarantee)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    new = pd.DataFrame({
+        "conv_id": ["c1"] * 5, "turn_idx": range(5),
+        "ts": pd.date_range("2025-02-11", periods=5, freq="1min"),
+        "text_len": [1.0] * 5,
+    })
+    old = pd.DataFrame({
+        "conv_id": ["c1"] * 5, "turn_idx": range(5, 10),
+        "ts": pd.date_range("2025-02-01", periods=5, freq="1min"),
+        "text_len": [2.0] * 5,
+    })
+
+    def put(df, name, mtime):
+        # the file stream drains files oldest-mtime first: pin mtimes so
+        # the NEW file is consumed before the 10-days-older one
+        d = tmp_path / ("w_" + name)
+        spark.createDataFrame(df).coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    put(new, "f_new", now - 100)
+    put(old, "f_old", now)
+    with pytest.raises(RuntimeError, match="watermark horizon"):
+        run_stream_to_tier(
+            spark, str(src), SCHEMA, "text_len", "ts", "conv_id",
+            tier="1m", store_path=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            watermark="1 minute", max_files_per_trigger=1,
+        )
