@@ -21,6 +21,13 @@ ts timestamp)``; numeric series are derived (text_len, latency_s).
 """
 
 from roll_spark.config import RollSpec
+from roll_spark.operators.lm import roll_lm
+from roll_spark.operators.arrow_ops import (
+    roll_cov_matrix,
+    roll_cov_xy_matrix,
+    roll_lm_k,
+    roll_lm_multi,
+)
 from roll_spark.operators.window_ops import (
     roll_all,
     roll_any,
@@ -60,6 +67,11 @@ __all__ = [
     "roll_idxmax",
     "roll_any",
     "roll_all",
+    "roll_lm",
+    "roll_lm_k",
+    "roll_lm_multi",
+    "roll_cov_matrix",
+    "roll_cov_xy_matrix",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
