@@ -400,9 +400,45 @@ def _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs):
     return np.where(n_obs >= max(min_obs, 1), q, np.nan)
 
 
+def _quantile_block_equal(xp, b0, b1, width, pp, min_obs):
+    """Equal-weight HF2 selection via np.partition — O(w) per row, no
+    sort. Under equal weights the top-down mass scan reduces to the
+    order statistic at k = n_obs - c, c = max(1, ceil(n_obs*(1-p)))
+    (HF definition 2, identical selection to the weighted scan — the
+    index algebra is exact for n <= 2^53 so the two paths are
+    bit-identical). NaNs order AFTER every number under numpy's
+    partition, so the k-th smallest observed value is the k-th overall.
+    Rows in the block can have different n_obs (different k): one
+    partition call with the block's distinct {k-1, k} set handles all
+    of them; pathological blocks (more distinct NaN counts than
+    log2(width) -> partition set approaching a full sort) fall back to
+    the weighted scan."""
+    m = b1 - b0
+    wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
+    n_obs = width - np.isnan(wins).sum(axis=1)
+    pos = np.maximum(n_obs, 1)
+    c = np.maximum(1, np.ceil(pos * pp - 1e-12).astype(np.int64))
+    k = np.maximum(pos - c, 0)
+    kth = np.unique(np.concatenate([k, np.maximum(k - 1, 0)]))
+    if len(kth) > max(4, int(np.log2(width)) + 1):
+        return None  # degenerate NaN mix: weighted scan handles it
+    part = np.partition(wins, kth, axis=1)
+    rows = np.arange(m)
+    val_hi = part[rows, k]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        exact = np.abs(c / pos - pp) <= SQRT_EPS
+    k_lo = np.maximum(k - 1, 0)
+    val_lo = part[rows, k_lo]
+    lo_valid = (k - 1 >= 0) & ~np.isnan(val_lo)
+    q = np.where(exact & lo_valid, (val_hi + val_lo) / 2.0, val_hi)
+    return np.where(n_obs >= max(min_obs, 1), q, np.nan)
+
+
 def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
     """Exact weighted HF2-style quantile (roll_vec.h:1956-2095), vectorized
-    with a strided sliding window + per-row top-down weight scan.
+    with a strided sliding window + per-row top-down weight scan; equal
+    weights short-circuit to an np.partition selection (O(w) per row,
+    no sort — see _quantile_block_equal).
 
     Memory-bounded: the scan materializes several (rows x width) float64
     intermediates, so rows are processed in blocks sized to keep peak
@@ -417,6 +453,7 @@ def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
     if n == 0:
         return out
     pp = 1.0 - p
+    equal = weights is None
     wts_full = _kernel(weights, width)[::-1]  # oldest-first slot weights
     # pad front so every row has a width-window; pads are NaN (excluded)
     pad = np.full(width - 1, np.nan)
@@ -428,7 +465,12 @@ def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
     block = min(max((131072 // max(width, 1)), 128), 8192)
     for b0 in range(0, n, block):
         b1 = min(n, b0 + block)
-        out[b0:b1] = _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs)
+        res = None
+        if equal:
+            res = _quantile_block_equal(xp, b0, b1, width, pp, min_obs)
+        if res is None:
+            res = _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs)
+        out[b0:b1] = res
     return _restore(out, x, na_restore)
 
 
