@@ -1,0 +1,145 @@
+"""Stateful streaming rolling statistics — applyInPandasWithState over
+the online kernels.
+
+The batch engine's Arrow path evaluates a whole series per task; a LIVE
+transcript stream instead delivers each conversation's turns
+incrementally across micro-batches. This module keeps the rolling
+computation exactly incremental: per (series) group, the micro-batch's
+rows are folded through the sequential ``online_*`` kernels
+(roll_spark.operators.kernels) and the kernel's carry — trailing window
+values plus the running sums / dual multisets — is persisted in the
+Structured Streaming state store between batches. The reference's own
+"online" algorithms (roll_vec.h:383 sum recursion, :1694 dual-multiset
+quantile) are exactly this shape; here the state store supplies the
+cross-batch memory their single pass assumes.
+
+Correctness contract: rows must arrive IN (series, order) ORDER across
+micro-batches (append-only transcript tails — turn k+1 never lands in
+an earlier batch than turn k). Within a micro-batch rows are sorted by
+the order column before folding, so any intra-batch shuffling is fine;
+cross-batch disorder is the caller's watermarking problem, the same
+contract run_stream_to_tier enforces for tier buckets. The streamed
+output is proven row-identical to the batch operators in
+tests/test_streaming_rolling.py.
+
+Scale shape: state per key is O(width) floats (the trailing window),
+partitioned by the series key across executors by the state store —
+10^9 conversations at width 100 is ~800 GB of state spread over the
+cluster, the same order as any per-key windowed aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as TT
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from roll_spark.operators import kernels as K
+from roll_spark.operators.base import Cols, _as_list
+
+# op name -> (kernel, state pack/unpack as flat double arrays)
+_OPS = ("mean", "sum", "var", "quantile")
+
+
+def stream_roll(
+    sdf: DataFrame,
+    value: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    *,
+    op: str = "mean",
+    p: float = 0.5,
+    min_obs: int = 1,
+    out: str = "roll_out",
+) -> DataFrame:
+    """Rolling ``op`` over a streaming DataFrame, one output row per
+    input row, state carried per series across micro-batches.
+
+    op: 'mean' | 'sum' | 'var' (Welford) | 'quantile' (equal-weight
+    dual multiset, HF2 emission at ``p``).
+    """
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {_OPS}")
+    by_l = _as_list(by)
+    order_l = _as_list(order)
+    if len(order_l) != 1:
+        raise ValueError("stream_roll needs exactly one order column")
+    ocol = order_l[0]
+
+    by_fields = [f for f in sdf.schema if f.name in by_l]
+    order_field = [f for f in sdf.schema if f.name == ocol][0]
+    out_schema = TT.StructType(
+        by_fields + [order_field, TT.StructField(out, TT.DoubleType())]
+    )
+    # state: the kernel carry flattened to double arrays (hist may hold
+    # NaNs for missing turns; lower/upper are the quantile multisets)
+    state_schema = TT.StructType([
+        TT.StructField("hist", TT.ArrayType(TT.DoubleType())),
+        TT.StructField("aux", TT.ArrayType(TT.DoubleType())),
+        TT.StructField("lower", TT.ArrayType(TT.DoubleType())),
+        TT.StructField("upper", TT.ArrayType(TT.DoubleType())),
+    ])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            hist, aux, lower, upper = state.get
+            kstate = _unpack(op, list(hist), list(aux), list(lower), list(upper))
+        else:
+            kstate = None
+        frames = []
+        for pdf in pdfs:
+            frames.append(pdf)
+        batch = pd.concat(frames, ignore_index=True)
+        batch = batch.sort_values(ocol, kind="stable")
+        x = batch[value].to_numpy(dtype=np.float64, na_value=np.nan)
+        if op == "mean":
+            res, kstate = K.online_mean(x, width, min_obs=min_obs, state=kstate)
+        elif op == "sum":
+            res, kstate = K.online_sum(x, width, min_obs=min_obs, state=kstate)
+        elif op == "var":
+            res, kstate = K.online_var(x, width, min_obs=min_obs, state=kstate)
+        else:
+            res, kstate = K.online_quantile(x, width, p, min_obs=min_obs,
+                                            state=kstate)
+        state.update(_pack(op, kstate))
+        data = {c: batch[c].to_numpy() for c in by_l + [ocol]}
+        data[out] = res
+        yield pd.DataFrame(data)
+
+    return sdf.groupBy(*by_l).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _pack(op: str, s: dict) -> tuple:
+    # plain python floats only: the state tuple is pickled into the JVM
+    # state store, which rejects numpy scalar types
+    hist = [float(v) for v in s["hist"]]
+    if op == "mean":
+        aux = [float(s["sum_w"]), float(s["sum_x"]), float(s["n_obs"])]
+        return (hist, aux, [], [])
+    if op == "sum":
+        return (hist, [float(s["sum_x"]), float(s["n_obs"])], [], [])
+    if op == "var":
+        return (hist, [float(s["n_obs"]), float(s["mean"]), float(s["M2"])],
+                [], [])
+    return (hist, [], [float(v) for v in s["lower"]],
+            [float(v) for v in s["upper"]])
+
+
+def _unpack(op: str, hist, aux, lower, upper) -> dict:
+    if op == "mean":
+        return {"sum_w": aux[0], "sum_x": aux[1], "n_obs": int(aux[2]),
+                "hist": hist}
+    if op == "sum":
+        return {"sum_x": aux[0], "n_obs": int(aux[1]), "hist": hist}
+    if op == "var":
+        return {"n_obs": int(aux[0]), "mean": aux[1], "M2": aux[2],
+                "hist": hist}
+    return {"lower": lower, "upper": upper, "hist": hist}

@@ -1,0 +1,90 @@
+"""Stateful streaming rolling stats must equal the batch kernels row for
+row: the state store carries each series' window across micro-batches,
+so an incrementally-delivered transcript yields EXACTLY the numbers a
+cold batch pass produces (online == offline, extended to the streaming
+runtime)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from roll_spark.operators import kernels as K
+
+N_CONVS = 6
+N_TURNS = 90
+WIDTH = 10
+
+
+@pytest.fixture(scope="module")
+def ordered_stream_dir(spark, tmp_path_factory):
+    """Three parquet files per turn-range with ascending mtimes: every
+    conversation's turns arrive in order across micro-batches — the
+    append-only transcript-tail delivery stream_roll's contract needs."""
+    base = tmp_path_factory.mktemp("roll_stream")
+    rng = np.random.default_rng(77)
+    rows = []
+    for c in range(N_CONVS):
+        vals = np.round(rng.normal(100, 20, N_TURNS), 2)
+        vals[rng.random(N_TURNS) < 0.15] = np.nan
+        for t in range(N_TURNS):
+            rows.append((f"c{c}", t, None if np.isnan(vals[t]) else float(vals[t])))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text_len"])
+    src = base / "src"
+    os.makedirs(src)
+    now = time.time()
+    for i, (lo, hi) in enumerate(((0, 30), (30, 60), (60, 90))):
+        part = pdf[(pdf.turn_idx >= lo) & (pdf.turn_idx < hi)]
+        d = base / f"w{i}"
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(str(d))
+        f = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = str(src / f"turns_{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    return str(src), pdf
+
+
+@pytest.mark.parametrize("op,kw", [
+    ("mean", {}),
+    ("sum", {}),
+    ("var", {}),
+    ("quantile", {"p": 0.5}),
+])
+def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
+    from roll_spark.streaming.rolling import stream_roll
+
+    src, pdf = ordered_stream_dir
+    sdf = spark.readStream.schema(
+        "conv_id string, turn_idx long, text_len double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_roll(sdf, "text_len", "conv_id", "turn_idx", WIDTH,
+                      op=op, min_obs=2, out="r", **kw)
+    qname = f"roll_{op}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / f"ck_{op}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (spark.table(qname).toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(got) == N_CONVS * N_TURNS
+
+    kernel = {"mean": K.online_mean, "sum": K.online_sum,
+              "var": K.online_var}.get(op)
+    for c in range(N_CONVS):
+        series = (pdf[pdf.conv_id == f"c{c}"].sort_values("turn_idx")
+                  ["text_len"].to_numpy(dtype=np.float64))
+        if op == "quantile":
+            want = K.conv_quantile(series, WIDTH, 0.5, min_obs=2)
+        else:
+            want, _ = kernel(series, WIDTH, min_obs=2)
+        g = got[got.conv_id == f"c{c}"]["r"].to_numpy(dtype=np.float64)
+        same = (g == want) | (np.isnan(g) & np.isnan(want))
+        ok = same | np.isclose(g, want, rtol=0, atol=1e-9)
+        assert ok.all(), (op, c, np.where(~ok)[0][:5])
