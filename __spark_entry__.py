@@ -280,6 +280,54 @@ def q_stream_tier_1m(spark, sf_dir):
     )
 
 
+def q_stream_roll_mean_w10(spark, sf_dir):
+    """STATEFUL STREAMING rolling mean (applyInPandasWithState carrying
+    the online kernel's window state across micro-batches): events are
+    re-laid-out as four time-range files (a global time split preserves
+    every user's event order across files — the append-only delivery the
+    operator's contract needs) and drained as four micro-batches. The
+    oracle is the plain batch rolling-mean SQL, so the driver hash
+    proves the streamed, state-carried computation equals the batch
+    engine row for row."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W_
+
+    from roll_spark.streaming.rolling import stream_roll
+
+    base = tempfile.mkdtemp(prefix="roll_stream_roll_gate_")
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    parts = ev.withColumn("part", F.ntile(4).over(W_.orderBy("ts")))
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    now = _time.time()
+    for i in range(1, 5):
+        d = f"{base}/w{i}"
+        parts.filter(F.col("part") == i).drop("part").coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        dst = f"{src}/t{i}.parquet"
+        _shutil.copy(_glob.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_roll(sdf, "value", "user_id", "ts", 10, op="mean",
+                      min_obs=5, out="m")
+    qname = "stream_roll_gate"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append")
+         .option("checkpointLocation", f"{base}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id", "ts", _r6(F.col("m")).alias("mean10")
+    )
+
+
 def q_gapfill_locf_1h(spark, sf_dir):
     stats = T.finalize(T.rollup_raw(_events(spark, sf_dir), "value", "ts", "user_id", "1h"))
     filled = T.gapfill(stats, "user_id", "1h", value="mean_x", method="locf")
@@ -760,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1d_cascade": q_tier_1d_cascade,
         "tier_1m_from_chunks": q_tier_1m_from_chunks,
         "stream_tier_1m": q_stream_tier_1m,
+        "stream_roll_mean_w10": q_stream_roll_mean_w10,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
@@ -1612,6 +1661,13 @@ def oracle_sql() -> dict[str, str]:
         # batch 1m rollup -> same oracle as tier_1m_stats
         "tier_1m_from_chunks": _TIER_STATS.format(unit="minute"),
         "stream_tier_1m": _TIER_STATS.format(unit="minute"),
+        # the STATEFUL streaming rolling mean must equal the plain batch
+        # rolling mean -> same oracle as roll_mean_w10
+        "stream_roll_mean_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                    THEN avg(value) OVER ({_W10}) END, 6) AS mean10
+            FROM events""",
         "gapfill_locf_1h": """
             WITH stats AS (
               SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS mean_x
