@@ -86,7 +86,10 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    base = shingles(df, text, id_col, n)
+    # cache the exploded shingles: the generation subtree (split + n-fold
+    # zip_with + explode + distinct) otherwise re-executes for the
+    # hot-shingle aggregate AND each side of the self-join
+    base = shingles(df, text, id_col, n).cache()
     if max_shingle_df is not None:
         hot = (
             base.groupBy("sh").agg(F.count("*").alias("df_sh"))
@@ -347,6 +350,8 @@ def embedding_neardup_lsh(
         lsh_band_keys_udf,
     )
 
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
     rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
     sel = emb.select(F.col(id_col).alias("doc"), F.col(vec).alias("v"))

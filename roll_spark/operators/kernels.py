@@ -364,10 +364,13 @@ def _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs):
     masking pre-pass); slot weights come from one table gather through
     the argsort permutation; the top-down cumulative is derived from the
     left cumsum (total - cumleft + own) instead of a strided reversed
-    cumsum; the mass>=pp comparison runs on unnormalized weights
-    (cum_top >= pp*total) so the division happens once per row at the
-    selected index, not per cell. Bit-identical to the direct form
-    (property-tested incl. tie-heavy 2-decimal data)."""
+    cumsum. The selection predicate is the NORMALIZED division form
+    ``cum_top/total >= pp`` — exactly the reference's
+    ``sum_upper_w / sum_w >= p`` (roll_vec.h:2048); an unnormalized
+    ``cum_top >= pp*total`` is NOT equivalent in float64 (product vs
+    quotient rounding flips the selected order statistic whenever
+    fl(pp*total) straddles an attainable mass — dozens of (p, n) combos
+    under equal weights alone)."""
     m = b1 - b0
     wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
     # unstable introsort matches the reference's std::sort (stl_sort_index
@@ -384,14 +387,15 @@ def _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs):
     # non-increasing along ascending k; we need the LAST k where
     # cumulative-from-top >= pp ==> argmax over reversed condition.
     # NaN slots carry zero weight and must never be selected.
-    cond = (cum_top >= pp * total[:, None]) & ~nan_mask
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mass = cum_top / total[:, None]
+    cond = (mass >= pp) & ~nan_mask
     last_true = width - 1 - np.argmax(cond[:, ::-1], axis=1)
     has_true = cond.any(axis=1)
     k = np.where(has_true, last_true, 0)
     rows = np.arange(m)
     val_hi = sv[rows, k]
-    with np.errstate(invalid="ignore", divide="ignore"):
-        mass_k = cum_top[rows, k] / total
+    mass_k = mass[rows, k]
     exact = np.abs(mass_k - pp) <= SQRT_EPS
     k_lo = np.maximum(k - 1, 0)
     val_lo = sv[rows, k_lo]
@@ -400,24 +404,40 @@ def _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs):
     return np.where(n_obs >= max(min_obs, 1), q, np.nan)
 
 
+def _equal_weight_c(pos, pp):
+    """Smallest integer c (per row) with fl64(c / n) >= pp — the
+    equal-weight closed form of the reference's normalized scan
+    predicate ``sum_upper_w / sum_w >= p`` (roll_vec.h:2048). A plain
+    ``ceil(pp*n)`` is NOT that number in float64: the product and the
+    quotient round differently, so the ceil guess is corrected by
+    evaluating the actual division predicate at c-1 and c (off-by-one
+    at most, since product and quotient agree to 1 ulp)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c = np.maximum(np.ceil(pp * pos), 1.0).astype(np.int64)
+        down = (c > 1) & ((c - 1) / pos >= pp)
+        c = np.where(down, c - 1, c)
+        up = (c / pos < pp) & (c < pos)
+        c = np.where(up, c + 1, c)
+    return np.minimum(c, pos)
+
+
 def _quantile_block_equal(xp, b0, b1, width, pp, min_obs):
     """Equal-weight HF2 selection via np.partition — O(w) per row, no
     sort. Under equal weights the top-down mass scan reduces to the
-    order statistic at k = n_obs - c, c = max(1, ceil(n_obs*(1-p)))
-    (HF definition 2, identical selection to the weighted scan — the
-    index algebra is exact for n <= 2^53 so the two paths are
-    bit-identical). NaNs order AFTER every number under numpy's
-    partition, so the k-th smallest observed value is the k-th overall.
-    Rows in the block can have different n_obs (different k): one
-    partition call with the block's distinct {k-1, k} set handles all
-    of them; pathological blocks (more distinct NaN counts than
-    log2(width) -> partition set approaching a full sort) fall back to
-    the weighted scan."""
+    order statistic at k = n_obs - c with c from _equal_weight_c (the
+    same float64 division predicate as the weighted scan, so the two
+    paths are bit-identical, boundary (p, n) combos included). NaNs
+    order AFTER every number under numpy's partition, so the k-th
+    smallest observed value is the k-th overall. Rows in the block can
+    have different n_obs (different k): one partition call with the
+    block's distinct {k-1, k} set handles all of them; pathological
+    blocks (more distinct NaN counts than log2(width) -> partition set
+    approaching a full sort) fall back to the weighted scan."""
     m = b1 - b0
     wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
     n_obs = width - np.isnan(wins).sum(axis=1)
     pos = np.maximum(n_obs, 1)
-    c = np.maximum(1, np.ceil(pos * pp - 1e-12).astype(np.int64))
+    c = _equal_weight_c(pos, pp)
     k = np.maximum(pos - c, 0)
     kth = np.unique(np.concatenate([k, np.maximum(k - 1, 0)]))
     if len(kth) > max(4, int(np.log2(width)) + 1):
@@ -886,7 +906,14 @@ def online_quantile(x, width, p, min_obs=None, na_restore=False,
                     del upper[j]
         n_obs = len(lower) + len(upper)
         if n_obs:
-            c = max(1, int(np.ceil(n_obs * pp - 1e-12)))
+            # smallest c with fl64(c/n) >= pp — the same division
+            # predicate as the offline scan (see _equal_weight_c)
+            c = max(1, int(np.ceil(pp * n_obs)))
+            if c > 1 and (c - 1) / n_obs >= pp:
+                c -= 1
+            elif c < n_obs and c / n_obs < pp:
+                c += 1
+            c = min(c, n_obs)
             m = n_obs - c + 1  # lower must hold the m smallest
             while len(lower) < m:
                 v = upper.pop(0)

@@ -309,9 +309,19 @@ def roll_quantile(
     v = F.col(value)
     arr = F.array_sort(F.collect_list(v).over(w))
     n = F.size(arr)
-    m = n * F.lit(1.0 - p)
-    c = F.greatest(F.lit(1).cast("long"), F.ceil(m))
-    exact = F.abs(c.cast("double") / n - F.lit(1.0 - p)) <= F.lit(SQRT_EPS)
+    pp = F.lit(1.0 - p)
+    # smallest integer c with float64(c / n) >= 1-p: the NORMALIZED
+    # division predicate of the reference scan (roll_vec.h:2048). The
+    # ceil of the PRODUCT n*(1-p) is only a 1-ulp-accurate guess (the
+    # product and the quotient round differently at boundary (p, n)
+    # combos), so correct it by evaluating the actual predicate at
+    # c-1 and c — keeps this path bit-aligned with the Arrow kernels.
+    c0 = F.greatest(F.lit(1).cast("long"), F.ceil(n * pp))
+    c1 = F.when(
+        (c0 > 1) & ((c0 - 1).cast("double") / n >= pp), c0 - 1
+    ).otherwise(c0)
+    c = F.when((c1.cast("double") / n < pp) & (c1 < n), c1 + 1).otherwise(c1)
+    exact = F.abs(c.cast("double") / n - pp) <= F.lit(SQRT_EPS)
     hi = F.element_at(arr, (n - c + 1).cast("int"))
     lo = F.element_at(arr, F.greatest(F.lit(1), (n - c).cast("int")))
     q = F.when(exact, (hi + lo) / 2).otherwise(hi)

@@ -41,13 +41,23 @@ _WINDOW_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 _DURATION_US = {
     "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
     "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
 }
 
 
 def _parse_duration_us(s: str) -> int:
-    """Parse a Spark CalendarInterval-style delay ('10 minutes') to µs."""
-    amount, unit = s.strip().split()
-    return int(amount) * _DURATION_US[unit.rstrip("s").lower()]
+    """Parse a Spark CalendarInterval-style delay to µs — including the
+    multi-unit ('1 hour 30 minutes') and week forms Spark accepts."""
+    toks = s.strip().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"cannot parse watermark duration: {s!r}")
+    total = 0
+    for amount, unit in zip(toks[::2], toks[1::2]):
+        try:
+            total += int(amount) * _DURATION_US[unit.rstrip("s").lower()]
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"cannot parse watermark duration: {s!r}") from e
+    return total
 
 
 def _us(ts) -> int:
@@ -277,19 +287,30 @@ def run_stream_to_tier(
     seen = {"max": None, "violation": None}
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch re-executes the stateful aggregation per ACTION
+        # (the guard agg here + the store's distinct-days / anti-join /
+        # write): materialize the micro-batch ONCE. localCheckpoint, not
+        # persist — persisting a foreachBatch frame trips attribute
+        # re-resolution (NoSuchElementException on the grouping key),
+        # while a local checkpoint returns a fresh-lineage DataFrame.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # the guard compares EVENT-time extremes (first_ts/last_ts ride
+        # in the sufficient stats) — the same clock Spark's watermark
+        # advances on; comparing bucket starts instead would leave a
+        # blind window of up to one tier duration
         lo, hi = batch_df.agg(
-            F.min("bucket_ts"), F.max("bucket_ts")
+            F.min("first_ts"), F.max("last_ts")
         ).first()
         if lo is not None:
             if seen["max"] is not None and _us(lo) < _us(seen["max"]) - delta_us:
                 seen["violation"] = (
-                    f"stream_to_tier: micro-batch {batch_id} touches bucket "
-                    f"{lo}, older than the watermark horizon "
+                    f"stream_to_tier: micro-batch {batch_id} contains an "
+                    f"event at {lo}, older than the watermark horizon "
                     f"({watermark or 'default'} behind {seen['max']}); its "
-                    "state may have been evicted and the upsert would "
-                    "corrupt the store. Use a watermark covering the "
-                    "source's max event-time disorder (or the drain-safe "
-                    "default for backfills)."
+                    "window state may have been evicted and the upsert "
+                    "would corrupt the store. Use a watermark covering "
+                    "the source's max event-time disorder (or the "
+                    "drain-safe default for backfills)."
                 )
                 raise RuntimeError(seen["violation"])
             if seen["max"] is None or hi > seen["max"]:

@@ -316,3 +316,25 @@ def test_quantile_width_dispatch(grid_df):
     plan_big = big._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan_big
     assert "FlatMapGroupsInPandas" in plan_big
+
+
+def test_quantile_native_equals_arrow_at_boundary_p(grid_df):
+    """Native WindowExec selection must match the Arrow kernels at the
+    boundary (p, n) combos where ceil-of-product and the reference's
+    division predicate disagree (p=0.41, 0.18, 0.999 across partial
+    window sizes 1..15)."""
+    from roll_spark.operators import arrow_ops
+    from tests.conftest import collect_all
+
+    for p in (0.41, 0.18, 0.408, 0.999, 0.82):
+        native = roll_quantile(grid_df, "x", "series_id", "i", 7, p,
+                               min_obs=1, out="q")
+        spec = RollSpec(width=7, min_obs=1, p=p)
+        arrow = arrow_ops.roll_quantile(grid_df, "x", "series_id", "i",
+                                        spec, out="q")
+        got_n = collect_all(native, "q")
+        got_a = collect_all(arrow, "q")
+        for name in got_n:
+            a, b = got_n[name], got_a[name]
+            same = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert same.all(), (p, name, np.where(~same)[0][:3])

@@ -230,3 +230,38 @@ def test_cov_xy_matrix_constant_column_gates():
     body = out[4:]
     assert np.isfinite(body).all()
     assert np.allclose(body, 0.0, atol=0)
+
+
+def test_quantile_selection_boundary_combos():
+    """The selection predicate is the reference's NORMALIZED division
+    (sum_upper/sum_w >= p, roll_vec.h:2048). At (p, n) combos where the
+    PRODUCT n*(1-p) rounds to the other side of an attainable mass —
+    e.g. p=0.41/n=100, p=0.18/n=50 — a ceil-of-product shortcut selects
+    a different order statistic. The equal-weight partition fast path,
+    the weighted scan, and the online dual multiset must all agree on
+    exactly these combos."""
+    rng = np.random.default_rng(5)
+    for p, w in ((0.41, 100), (0.18, 50), (0.18, 150), (0.408, 125),
+                 (0.999, 37), (0.82, 50)):
+        x = rng.normal(0, 1, 1200)
+        x[rng.random(1200) < 0.1] = np.nan
+        fast = K.conv_quantile(x, w, p, min_obs=1)
+        scan = K.conv_quantile(x, w, p, weights=np.ones(w), min_obs=1)
+        onl, _ = K.online_quantile(x, w, p, min_obs=1)
+        for name, a in (("fast", fast), ("online", onl)):
+            same = (a == scan) | (np.isnan(a) & np.isnan(scan))
+            assert same.all(), (name, p, w, np.where(~same)[0][:3])
+
+
+def test_equal_weight_c_is_smallest_division_satisfier():
+    """_equal_weight_c must return the SMALLEST integer c with
+    float64(c/n) >= 1-p — brute-checked over a fine p grid."""
+    ns = np.arange(1, 401)
+    for pct in range(1, 1000, 7):
+        pp = 1.0 - pct / 1000.0
+        c_fast = K._equal_weight_c(ns, pp)
+        for n in (1, 2, 3, 37, 50, 100, 125, 150, 399, 400):
+            c = 1
+            while c < n and c / n < pp:
+                c += 1
+            assert c_fast[n - 1] == c, (pp, n, c_fast[n - 1], c)
