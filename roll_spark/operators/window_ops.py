@@ -248,14 +248,22 @@ def _idx_extreme(
 
 
 def roll_idxmin(
-    df, value, by, order, width, *, min_obs=None, na_restore=False, out="roll_idxmin"
+    df, value, by, order, width, *, min_obs=None, na_restore=False,
+    weights=None, out="roll_idxmin"
 ) -> DataFrame:
+    """Reference routes roll_idxmin as an idx-quantile at p=0
+    (R/roll.R:345): positive weights never change WHICH element is the
+    extreme, so they are validated and the weight-free kernel applies."""
+    _check_positive_weights(weights, "roll_idxmin")
     return _idx_extreme(df, value, by, order, width, min_obs, na_restore, out, True)
 
 
 def roll_idxmax(
-    df, value, by, order, width, *, min_obs=None, na_restore=False, out="roll_idxmax"
+    df, value, by, order, width, *, min_obs=None, na_restore=False,
+    weights=None, out="roll_idxmax"
 ) -> DataFrame:
+    """Weights as in roll_idxmin (R/roll.R:392)."""
+    _check_positive_weights(weights, "roll_idxmax")
     return _idx_extreme(df, value, by, order, width, min_obs, na_restore, out, False)
 
 

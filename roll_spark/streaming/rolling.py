@@ -43,7 +43,7 @@ from roll_spark.operators import kernels as K
 from roll_spark.operators.base import Cols, _as_list
 
 # op name -> (kernel, state pack/unpack as flat double arrays)
-_OPS = ("mean", "sum", "var", "quantile")
+_OPS = ("mean", "sum", "var", "quantile", "cov")
 
 
 def stream_roll(
@@ -55,6 +55,7 @@ def stream_roll(
     *,
     op: str = "mean",
     p: float = 0.5,
+    y: str | None = None,
     min_obs: int = 1,
     out: str = "roll_out",
 ) -> DataFrame:
@@ -62,10 +63,13 @@ def stream_roll(
     input row, state carried per series across micro-batches.
 
     op: 'mean' | 'sum' | 'var' (Welford) | 'quantile' (equal-weight
-    dual multiset, HF2 emission at ``p``).
+    dual multiset, HF2 emission at ``p``) | 'cov' (bivariate Welford
+    co-moment over ``value`` and ``y``, pairwise-complete).
     """
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
+    if op == "cov" and y is None:
+        raise ValueError("op='cov' needs the second series column y")
     by_l = _as_list(by)
     order_l = _as_list(order)
     if len(order_l) != 1:
@@ -104,6 +108,10 @@ def stream_roll(
             res, kstate = K.online_sum(x, width, min_obs=min_obs, state=kstate)
         elif op == "var":
             res, kstate = K.online_var(x, width, min_obs=min_obs, state=kstate)
+        elif op == "cov":
+            yv = batch[y].to_numpy(dtype=np.float64, na_value=np.nan)
+            res, kstate = K.online_cov(x, yv, width, min_obs=min_obs,
+                                       state=kstate)
         else:
             res, kstate = K.online_quantile(x, width, p, min_obs=min_obs,
                                             state=kstate)
@@ -120,6 +128,11 @@ def stream_roll(
 def _pack(op: str, s: dict) -> tuple:
     # plain python floats only: the state tuple is pickled into the JVM
     # state store, which rejects numpy scalar types
+    if op == "cov":
+        # hist holds (x, y) pairs: interleave into the flat array
+        hist = [float(v) for xy in s["hist"] for v in xy]
+        return (hist, [float(s["n_obs"]), float(s["mx"]), float(s["my"]),
+                       float(s["C"])], [], [])
     hist = [float(v) for v in s["hist"]]
     if op == "mean":
         aux = [float(s["sum_w"]), float(s["sum_x"]), float(s["n_obs"])]
@@ -134,6 +147,10 @@ def _pack(op: str, s: dict) -> tuple:
 
 
 def _unpack(op: str, hist, aux, lower, upper) -> dict:
+    if op == "cov":
+        pairs = [(hist[i], hist[i + 1]) for i in range(0, len(hist), 2)]
+        return {"n_obs": int(aux[0]), "mx": aux[1], "my": aux[2],
+                "C": aux[3], "hist": pairs}
     if op == "mean":
         return {"sum_w": aux[0], "sum_x": aux[1], "n_obs": int(aux[2]),
                 "hist": hist}

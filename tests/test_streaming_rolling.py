@@ -33,9 +33,13 @@ def ordered_stream_dir(spark, tmp_path_factory):
     for c in range(N_CONVS):
         vals = np.round(rng.normal(100, 20, N_TURNS), 2)
         vals[rng.random(N_TURNS) < 0.15] = np.nan
+        lats = np.round(rng.normal(5, 2, N_TURNS), 2)
+        lats[rng.random(N_TURNS) < 0.15] = np.nan
         for t in range(N_TURNS):
-            rows.append((f"c{c}", t, None if np.isnan(vals[t]) else float(vals[t])))
-    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text_len"])
+            rows.append((f"c{c}", t,
+                         None if np.isnan(vals[t]) else float(vals[t]),
+                         None if np.isnan(lats[t]) else float(lats[t])))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text_len", "lat"])
     src = base / "src"
     os.makedirs(src)
     now = time.time()
@@ -55,13 +59,14 @@ def ordered_stream_dir(spark, tmp_path_factory):
     ("sum", {}),
     ("var", {}),
     ("quantile", {"p": 0.5}),
+    ("cov", {"y": "lat"}),
 ])
 def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     from roll_spark.streaming.rolling import stream_roll
 
     src, pdf = ordered_stream_dir
     sdf = spark.readStream.schema(
-        "conv_id string, turn_idx long, text_len double"
+        "conv_id string, turn_idx long, text_len double, lat double"
     ).option("maxFilesPerTrigger", 1).parquet(src)
     out = stream_roll(sdf, "text_len", "conv_id", "turn_idx", WIDTH,
                       op=op, min_obs=2, out="r", **kw)
@@ -78,10 +83,13 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     kernel = {"mean": K.online_mean, "sum": K.online_sum,
               "var": K.online_var}.get(op)
     for c in range(N_CONVS):
-        series = (pdf[pdf.conv_id == f"c{c}"].sort_values("turn_idx")
-                  ["text_len"].to_numpy(dtype=np.float64))
+        sub = pdf[pdf.conv_id == f"c{c}"].sort_values("turn_idx")
+        series = sub["text_len"].to_numpy(dtype=np.float64)
         if op == "quantile":
             want = K.conv_quantile(series, WIDTH, 0.5, min_obs=2)
+        elif op == "cov":
+            yv = sub["lat"].to_numpy(dtype=np.float64)
+            want, _ = K.online_cov(series, yv, WIDTH, min_obs=2)
         else:
             want, _ = kernel(series, WIDTH, min_obs=2)
         g = got[got.conv_id == f"c{c}"]["r"].to_numpy(dtype=np.float64)
