@@ -21,10 +21,28 @@ NaN encodes like any other payload (NaN bit pattern), so missing
 values round-trip exactly.
 
 The codec runs inside Arrow UDFs over per-(series, bucket) chunks
-(roll_spark.plans.chunks) — each chunk is one BinaryType cell. Python
-bit-twiddling is fine at chunk granularity for this sandbox; a
-production deployment would swap in a native codec behind the same
-encode/decode contract.
+(roll_spark.plans.chunks) — each chunk is one BinaryType cell.
+
+Two wire formats live here:
+
+- ``RSG1`` (encode_chunk/decode_chunk): the paper's interleaved
+  variable-length bitstream, implemented with per-value Python
+  bit-twiddling.  Kept as the readable TEST ORACLE — the interleaved
+  stream has a serial data dependence (each value's control window
+  depends on the previous one) and cannot be vectorized bit-exactly.
+- ``RSG2`` (encode_chunk_v2/decode_chunk_v2): the production path.
+  Same compression ideas (DoD buckets for timestamps, XOR
+  meaningful-bit windows for values) re-laid-out COLUMNAR so every
+  step is a numpy array op: bucket classification is a masked
+  compare, payloads are fixed-width bit-packed sections
+  (np.packbits), the XOR window is chosen per BLOCK of 256 nonzero
+  XORs instead of per value (one 12-bit header per block), and decode
+  reconstructs with cumsum / np.bitwise_xor.accumulate.  No per-value
+  Python anywhere.  This mirrors how columnar stores (Parquet,
+  ALP/Chimp engines) restructure Gorilla for SIMD.
+
+``decode_chunk_auto`` dispatches on the 4-byte magic, so a chunk table
+written under either format stays readable.
 """
 
 from __future__ import annotations
@@ -197,3 +215,208 @@ def decode_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
         prev_bits ^= x
         vals[i] = struct.unpack("<d", struct.pack("<Q", prev_bits))[0]
     return ts, vals
+
+
+# ---------------------------------------------------------------------------
+# RSG2: vectorized columnar codec
+# ---------------------------------------------------------------------------
+
+MAGIC2 = b"RSG2"
+_U64 = np.uint64
+_ONE = _U64(1)
+
+# SWAR popcount constants (numpy 1.x has no bitwise_count)
+_M1 = _U64(0x5555555555555555)
+_M2 = _U64(0x3333333333333333)
+_M4 = _U64(0x0F0F0F0F0F0F0F0F)
+_H01 = _U64(0x0101010101010101)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x - ((x >> _ONE) & _M1)
+    x = (x & _M2) + ((x >> _U64(2)) & _M2)
+    x = (x + (x >> _U64(4))) & _M4
+    return (x * _H01) >> _U64(56)
+
+
+def _bitlen64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0): smear then popcount."""
+    y = x.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        y |= y >> _U64(s)
+    return _popcount64(y)
+
+
+def _pack_fixed(vals: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values as big-endian `width`-bit fields, byte-padded.
+
+    Goes through the value's big-endian byte view + unpackbits rather
+    than a (m, width) uint64 shift broadcast — same result, ~8x less
+    intermediate memory, all C loops.
+    """
+    m = len(vals)
+    if m == 0 or width == 0:
+        return b""
+    be = np.ascontiguousarray(vals, dtype=">u8").view(np.uint8).reshape(m, 8)
+    bits = np.unpackbits(be, axis=1)
+    if width < 64:
+        bits = bits[:, 64 - width :]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _packed_len(count: int, width: int) -> int:
+    return (count * width + 7) // 8
+
+
+def _unpack_fixed(buf: memoryview, count: int, width: int) -> np.ndarray:
+    """Inverse of _pack_fixed: read `count` big-endian `width`-bit uints."""
+    if count == 0 or width == 0:
+        return np.zeros(count, dtype=np.uint64)
+    raw = np.frombuffer(buf[: _packed_len(count, width)], dtype=np.uint8)
+    bits = np.unpackbits(raw, count=count * width).reshape(count, width)
+    if width < 64:
+        bits = np.concatenate(
+            [np.zeros((count, 64 - width), dtype=np.uint8), bits], axis=1
+        )
+    by = np.packbits(bits, axis=1)  # (count, 8) big-endian bytes
+    return by.reshape(count, 8).copy().view(">u8").ravel().astype(np.uint64)
+
+
+_V2_BLOCK = 256  # nonzero XORs per meaningful-bit window block
+
+
+def encode_chunk_v2(ts_us: np.ndarray, values: np.ndarray) -> bytes:
+    """Vectorized columnar Gorilla encode (format RSG2).
+
+    Layout after the ``MAGIC2 + n`` header (n >= 2; byte-aligned
+    sections, all lengths derivable from the counts header):
+
+    ``t0:q  v0:Q  block:i  c1:i c2:i c3:i nz:i`` then
+    ``tclass`` 2-bit codes (0: dod=0, 1: 7-bit, 2: 12-bit, 3: 64-bit),
+    ``tpay1/tpay2/tpay3`` fixed-width DoD payloads,
+    ``vctrl`` 1 bit per value (XOR nonzero?),
+    ``vhead`` 12 bits per block (6-bit lead, 6-bit meaningful-1),
+    ``vpay``  per-block meaningful bits, each block byte-aligned.
+    """
+    ts = np.ascontiguousarray(ts_us, dtype=np.int64)
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    n = len(ts)
+    if n != len(vals):
+        raise ValueError("ts and values must have equal length")
+    parts = [MAGIC2, struct.pack("<i", n)]
+    if n == 0:
+        return b"".join(parts)
+    v = vals.view(np.uint64)
+    parts.append(struct.pack("<qQ", int(ts[0]), int(v[0])))
+    if n == 1:
+        return b"".join(parts)
+
+    # timestamps: delta-of-delta with prev_delta starting at 0
+    dod = np.diff(np.diff(ts), prepend=np.int64(0))
+    cls = np.full(n - 1, 3, dtype=np.uint8)
+    cls[(dod >= -2047) & (dod <= 2048)] = 2
+    cls[(dod >= -63) & (dod <= 64)] = 1
+    cls[dod == 0] = 0
+    p1 = (dod[cls == 1] + 63).astype(np.uint64)
+    p2 = (dod[cls == 2] + 2047).astype(np.uint64)
+    p3 = dod[cls == 3].view(np.uint64)  # two's complement
+
+    # values: XOR chain, per-block meaningful window.  Lead/trail are
+    # computed for ALL nonzero XORs in one vectorized pass; per-block
+    # minima come from np.minimum.reduceat, so the only Python loop is
+    # one bit-pack call per 256-value block.
+    x = v[1:] ^ v[:-1]
+    nzmask = x != 0
+    xnz = x[nzmask]
+    nz = len(xnz)
+    heads = np.zeros(0, dtype=np.uint64)
+    pays = []
+    if nz:
+        lead_all = (_U64(64) - _bitlen64(xnz)).astype(np.int64)
+        trail_all = _popcount64((xnz & (~xnz + _ONE)) - _ONE).astype(np.int64)
+        starts = np.arange(0, nz, _V2_BLOCK)
+        gleads = np.minimum.reduceat(lead_all, starts)
+        gtrails = np.minimum.reduceat(trail_all, starts)
+        mlens = 64 - gleads - gtrails
+        heads = ((gleads << 6) | (mlens - 1)).astype(np.uint64)
+        counts = np.diff(np.append(starts, nz))
+        shifted = xnz >> np.repeat(gtrails, counts).astype(np.uint64)
+        for b, b0 in enumerate(starts):
+            pays.append(_pack_fixed(shifted[b0 : b0 + counts[b]], int(mlens[b])))
+
+    parts.append(struct.pack("<ii i i i", _V2_BLOCK, len(p1), len(p2), len(p3), nz))
+    parts.append(_pack_fixed(cls.astype(np.uint64), 2))
+    parts.append(_pack_fixed(p1, 7))
+    parts.append(_pack_fixed(p2, 12))
+    parts.append(_pack_fixed(p3, 64))
+    parts.append(_pack_fixed(nzmask.astype(np.uint64), 1))
+    parts.append(_pack_fixed(heads, 12))
+    parts.extend(pays)
+    return b"".join(parts)
+
+
+def decode_chunk_v2(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    if blob[:4] != MAGIC2:
+        raise ValueError("bad magic")
+    (n,) = struct.unpack_from("<i", blob, 4)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    t0, v0 = struct.unpack_from("<qQ", blob, 8)
+    if n == 1:
+        return (
+            np.array([t0], dtype=np.int64),
+            np.array([v0], dtype=np.uint64).view(np.float64),
+        )
+    block, c1, c2, c3, nz = struct.unpack_from("<iiiii", blob, 24)
+    m = n - 1
+    buf = memoryview(blob)
+    pos = 44
+
+    cls = _unpack_fixed(buf[pos:], m, 2)
+    pos += _packed_len(m, 2)
+    p1 = _unpack_fixed(buf[pos:], c1, 7).astype(np.int64) - 63
+    pos += _packed_len(c1, 7)
+    p2 = _unpack_fixed(buf[pos:], c2, 12).astype(np.int64) - 2047
+    pos += _packed_len(c2, 12)
+    p3 = _unpack_fixed(buf[pos:], c3, 64).view(np.int64)
+    pos += _packed_len(c3, 64)
+
+    dod = np.zeros(m, dtype=np.int64)
+    dod[cls == 1] = p1
+    dod[cls == 2] = p2
+    dod[cls == 3] = p3
+    deltas = np.cumsum(dod)
+    ts = np.empty(n, dtype=np.int64)
+    ts[0] = t0
+    ts[1:] = t0 + np.cumsum(deltas)
+
+    ctrl = _unpack_fixed(buf[pos:], m, 1).astype(bool)
+    pos += _packed_len(m, 1)
+    nblocks = (nz + block - 1) // block
+    heads = _unpack_fixed(buf[pos:], nblocks, 12)
+    pos += _packed_len(nblocks, 12)
+    xnz = np.empty(nz, dtype=np.uint64)
+    for b in range(nblocks):
+        b0 = b * block
+        cnt = min(block, nz - b0)
+        lead = int(heads[b] >> _U64(6))
+        mlen = int(heads[b] & _U64(63)) + 1
+        trail = 64 - lead - mlen
+        xnz[b0 : b0 + cnt] = _unpack_fixed(buf[pos:], cnt, mlen) << _U64(trail)
+        pos += _packed_len(cnt, mlen)
+
+    xs = np.zeros(n, dtype=np.uint64)
+    xs[0] = v0
+    xs[1:][ctrl] = xnz
+    vbits = np.bitwise_xor.accumulate(xs)
+    return ts, vbits.view(np.float64)
+
+
+def decode_chunk_auto(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch on the 4-byte magic so mixed-format chunk tables read."""
+    magic = bytes(blob[:4])
+    if magic == MAGIC2:
+        return decode_chunk_v2(blob)
+    if magic == MAGIC:
+        return decode_chunk(blob)
+    raise ValueError(f"unknown chunk magic {magic!r}")

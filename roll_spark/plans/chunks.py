@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from roll_spark.compression import decode_chunk, encode_chunk
+from roll_spark.compression import decode_chunk_auto, encode_chunk_v2
 from roll_spark.operators.base import Cols, _as_list
 
 
@@ -44,7 +44,7 @@ def compress_series(
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__rs_us", kind="stable")
-        blob = encode_chunk(
+        blob = encode_chunk_v2(
             pdf["__rs_us"].to_numpy("int64"),
             pdf["__rs_v"].to_numpy("float64", na_value=float("nan")),
         )
@@ -70,7 +70,7 @@ def decompress_series(chunks: DataFrame, by: Cols) -> DataFrame:
         for pdf in it:
             frames = []
             for _, row in pdf.iterrows():
-                ts_us, vals = decode_chunk(row["blob"])
+                ts_us, vals = decode_chunk_auto(row["blob"])
                 frame = pd.DataFrame(
                     {
                         **{k: row[k] for k in by_l},
