@@ -27,6 +27,7 @@ ROLL_SPARK_DEBUG_KEYS=1 asserts the contract at runtime).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -317,21 +318,31 @@ def roll_quantile(
     v = F.col(value)
     arr = F.array_sort(F.collect_list(v).over(w))
     n = F.size(arr)
-    pp = F.lit(1.0 - p)
-    # smallest integer c with float64(c / n) >= 1-p: the NORMALIZED
-    # division predicate of the reference scan (roll_vec.h:2048). The
-    # ceil of the PRODUCT n*(1-p) is only a 1-ulp-accurate guess (the
-    # product and the quotient round differently at boundary (p, n)
-    # combos), so correct it by evaluating the actual predicate at
-    # c-1 and c — keeps this path bit-aligned with the Arrow kernels.
-    c0 = F.greatest(F.lit(1).cast("long"), F.ceil(n * pp))
-    c1 = F.when(
-        (c0 > 1) & ((c0 - 1).cast("double") / n >= pp), c0 - 1
-    ).otherwise(c0)
-    c = F.when((c1.cast("double") / n < pp) & (c1 < n), c1 + 1).otherwise(c1)
-    exact = F.abs(c.cast("double") / n - pp) <= F.lit(SQRT_EPS)
-    hi = F.element_at(arr, (n - c + 1).cast("int"))
-    lo = F.element_at(arr, F.greatest(F.lit(1), (n - c).cast("int")))
+    # The selection index is the smallest integer c with
+    # float64(c / n) >= 1-p: the NORMALIZED division predicate of the
+    # reference scan (roll_vec.h:2048). ceil(n*(1-p)) is only a
+    # 1-ulp-accurate guess (product and quotient round differently at
+    # boundary (p, n) combos), so it needs correction by evaluating
+    # the predicate at c-1/c. n only takes values 0..width on this
+    # path, so the whole correction (and the exact-boundary averaging
+    # test) is precomputed HERE in Python float64 — bit-identical
+    # arithmetic — and looked up per row from array literals instead
+    # of re-deriving it with per-row division chains (the r2 version
+    # of that chain cost ~0.6 s on the sf0.1 bench for w=5).
+    pp = 1.0 - p
+    hi_tab, lo_tab, ex_tab = [1], [1], [False]  # n=0 slot (gated off)
+    for n_ in range(1, width + 1):
+        c_ = max(1, math.ceil(n_ * pp))
+        if c_ > 1 and (c_ - 1) / n_ >= pp:
+            c_ -= 1
+        if c_ / n_ < pp and c_ < n_:
+            c_ += 1
+        hi_tab.append(n_ - c_ + 1)
+        lo_tab.append(max(1, n_ - c_))
+        ex_tab.append(abs(c_ / n_ - pp) <= SQRT_EPS)
+    hi = F.element_at(arr, F.element_at(F.lit(hi_tab), n + 1))
+    lo = F.element_at(arr, F.element_at(F.lit(lo_tab), n + 1))
+    exact = F.element_at(F.lit(ex_tab), n + 1)
     q = F.when(exact, (hi + lo) / 2).otherwise(hi)
     return df.withColumn(out, gate(spec, v, q, n))
 
