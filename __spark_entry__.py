@@ -496,6 +496,37 @@ def q_roll_cor_matrix_w10(spark, sf_dir):
     )
 
 
+def q_roll_cov_matrix_pairwise_w10(spark, sf_dir):
+    """complete_obs=FALSE cube: each pair computed over its OWN
+    pairwise-complete windows (reference R/roll.R:712 toggle; per-pair
+    masks src/roll.cpp:103-155). NAs are injected into the two columns
+    on DIFFERENT row sets, so per-cell n_obs differs from the shared
+    complete-obs row mask and the two modes give different answers
+    (the complete-obs cube is gated as roll_cov_matrix_w10)."""
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_cov_matrix
+
+    ev = _with_lag(spark, sf_dir).withColumn(
+        "v1",
+        F.when(F.round(F.col("value") * 100, 0).cast("long") % 7 == 0,
+               F.lit(None).cast("double")).otherwise(F.col("value")),
+    ).withColumn(
+        "v2",
+        F.when(F.round(F.col("value_lag") * 100, 0).cast("long") % 5 == 0,
+               F.lit(None).cast("double")).otherwise(F.col("value_lag")),
+    )
+    df = roll_cov_matrix(
+        ev, ["v1", "v2"], "user_id", "ts",
+        RollSpec(width=10, min_obs=5), complete_obs=False, out="m",
+    )
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("m")[0]).alias("vxx"),
+        _r6(F.col("m")[1]).alias("vxy"),
+        _r6(F.col("m")[3]).alias("vyy"),
+    )
+
+
 def q_roll_var_uncentered_w10(spark, sf_dir):
     """center=False variance: raw second moment about zero over n-1
     (reference center=FALSE branch, roll_vec.h:2171-2186)."""
@@ -800,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_mean_exp_w10": q_roll_mean_exp_w10,
         "roll_lm2_w20": q_roll_lm2_w20,
         "roll_cov_matrix_w10": q_roll_cov_matrix_w10,
+        "roll_cov_matrix_pairwise_w10": q_roll_cov_matrix_pairwise_w10,
         "roll_mean_chunked_w10": q_roll_mean_chunked_w10,
         "roll_median_w400": q_roll_median_w400,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
@@ -819,7 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         # -- tail: twice-green thin variants (crosscheck-verified) -----
-        "roll_min_w10": q_roll_min_w10,
+        "roll_min_w10": q_roll_min_w10,  # first tail slot: displaced by new r3 queries
         "roll_max_w10": q_roll_max_w10,
         "roll_sd_w10": q_roll_sd_w10,
         "roll_all_w10": q_roll_all_w10,
@@ -1654,6 +1686,35 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + CASE WHEN count(x) OVER ({_W10}) >= 5
                     THEN var_samp(y) OVER ({_W10}) END, 6) AS vyy
             FROM m""",
+        "roll_cov_matrix_pairwise_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS vl
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                CASE WHEN CAST(round(value * 100, 0) AS BIGINT) % 7 != 0
+                     THEN value END AS v1,
+                CASE WHEN vl IS NOT NULL
+                          AND CAST(round(vl * 100, 0) AS BIGINT) % 5 != 0
+                     THEN vl END AS v2
+              FROM t
+            ), p AS (
+              -- pairwise mask for the off-diagonal cell only; the
+              -- diagonals use their own single-column masks
+              SELECT user_id, ts, v1, v2,
+                CASE WHEN v2 IS NOT NULL THEN v1 END AS x12,
+                CASE WHEN v1 IS NOT NULL THEN v2 END AS y12
+              FROM m
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(v1) OVER ({_W10}) >= 5
+                    THEN var_samp(v1) OVER ({_W10}) END, 6) AS vxx,
+              ROUND(1e-7 + CASE WHEN count(x12) OVER ({_W10}) >= 5
+                    THEN covar_samp(x12, y12) OVER ({_W10}) END, 6) AS vxy,
+              ROUND(1e-7 + CASE WHEN count(v2) OVER ({_W10}) >= 5
+                    THEN var_samp(v2) OVER ({_W10}) END, 6) AS vyy
+            FROM p""",
         "latency_roll_mean_w10": f"""
             WITH t AS (
               SELECT user_id, ts,

@@ -442,12 +442,18 @@ def roll_cov_matrix(
     spec: RollSpec,
     *,
     scale: bool = False,
+    complete_obs: bool = True,
     out: str = "roll_cov_matrix",
 ) -> DataFrame:
     """Rolling k x k covariance/correlation matrix per row, flattened
     row-major into ``array<double>`` of length k*k (the reference's cube
     slice per timestamp, inst/include/roll_attr.h:56-70). scale=True
-    gives the correlation matrix (reference roll_cor on matrix input)."""
+    gives the correlation matrix (reference roll_cor on matrix input).
+
+    ``complete_obs`` is an explicit keyword (not read off the spec)
+    because its reference default differs by op: TRUE for matrix
+    cov/cor (R/roll.R:712), FALSE elsewhere. complete_obs=False gives
+    per-pair pairwise-complete windows (src/roll.cpp:103-155 masks)."""
     weights = None if spec.weights is None else np.asarray(spec.weights)
     x_cols = list(x_cols)
 
@@ -457,7 +463,7 @@ def roll_cov_matrix(
         )
         cube = K.conv_cov_matrix(
             X, spec.width, weights=weights, min_obs=spec.effective_min_obs,
-            center=spec.center, scale=scale,
+            center=spec.center, scale=scale, complete_obs=complete_obs,
         ).reshape(len(X), -1)
         return {out: [[None if np.isnan(v) else float(v) for v in row] for row in cube]}
 

@@ -642,7 +642,10 @@ def online_mean(x, width, weights=None, min_obs=None, na_restore=False,
     return out, final_state
 
 
-def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=False):
+def conv_cov_matrix(
+    X, width, weights=None, min_obs=None, center=True, scale=False,
+    complete_obs=True,
+):
     """Rolling k x k covariance (or correlation) matrix per row — the
     reference's cube output for matrix input (cube allocation
     src/roll.cpp:1366; symmetric kernels roll_mat.h:3314-3659).
@@ -652,6 +655,12 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
     pair's window. Computes the lower triangle only and mirrors — the
     reference's own work-halving (src/roll.cpp:1425, roll_mat.h:4745).
 
+    complete_obs=FALSE (same R toggle; per-pair masks built at
+    src/roll.cpp:103-155): each (j, l) pair is computed over its OWN
+    pairwise-complete windows — a row missing column m still counts for
+    every pair not involving m, so n_obs, the weight sums, and the
+    means all differ per pair.
+
     Returns (n, k, k) float64 with NaN where gated; scale=True emits the
     correlation matrix with the reference's raw-sumsq eps gates and
     as-computed diagonal (roll_vec.h:3762-3773).
@@ -659,6 +668,8 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
     X = np.asarray(X, dtype=np.float64)
     n, k = X.shape
     min_obs = width if min_obs is None else min_obs
+    if not complete_obs:
+        return _conv_cov_matrix_pairwise(X, width, weights, min_obs, center, scale)
     ok = ~np.isnan(X).any(axis=1)
     okf = ok.astype(np.float64)
     if center:
@@ -693,6 +704,49 @@ def conv_cov_matrix(X, width, weights=None, min_obs=None, center=True, scale=Fal
         else:
             out = ss / denom
     out[~gate] = np.nan
+    return out
+
+
+def _conv_cov_matrix_pairwise(X, width, weights, min_obs, center, scale):
+    """complete_obs=FALSE cube: per-pair pairwise-complete windows.
+
+    Runs the exact two-pass pair kernel (_pair_window_moments) once per
+    lower-triangle pair — the same per-pair masking the reference builds
+    at src/roll.cpp:103-155. Each call is fully vectorized over rows,
+    so cost is k(k+1)/2 blocked sweeps (the price of per-pair masks;
+    the fused single sweep only exists because complete_obs=TRUE lets
+    every pair share one observation mask).
+    """
+    n, k = X.shape
+    out = np.empty((n, k, k))
+    h = _kernel(weights, width)
+    for j in range(k):
+        for l in range(j, k):
+            xj, xl = X[:, j], X[:, l]
+            if center:
+                n_o, s_w, sq_w, ssx, ssy, ssxy, _, _ = _pair_window_moments(
+                    xj, xl if l != j else None, width, weights
+                )
+            else:
+                ok = ~np.isnan(xj) if l == j else (~np.isnan(xj) & ~np.isnan(xl))
+                okf = ok.astype(np.float64)
+                xv = np.where(ok, xj, 0.0)
+                yv = xv if l == j else np.where(ok, xl, 0.0)
+                n_o = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+                s_w = _rollconv(okf, h)
+                sq_w = _rollconv(okf, h * h)
+                ssx = _rollconv(xv * xv, h)
+                ssy = ssx if l == j else _rollconv(yv * yv, h)
+                ssxy = ssx if l == j else _rollconv(xv * yv, h)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if scale:
+                    c = ssxy / np.sqrt(ssx * ssy)
+                    c = np.where((ssx <= EPS) | (ssy <= EPS), np.nan, c)
+                else:
+                    c = ssxy / (s_w - sq_w / s_w)
+            c = np.where((n_o > 1) & (n_o >= min_obs), c, np.nan)
+            out[:, j, l] = c
+            out[:, l, j] = c
     return out
 
 

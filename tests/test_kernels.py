@@ -220,6 +220,41 @@ def test_cov_xy_matrix_equals_stacked_symmetric_block(grid_pairs):
             assert np.allclose(xy, full[:, :2, 2:], equal_nan=True, atol=1e-10), name
 
 
+def test_cov_matrix_pairwise_complete():
+    """complete_obs=False: every (j, l) cell must equal the 2-column
+    pairwise-complete kernel on those columns, and it must DIFFER from
+    the complete-obs cube when NAs are scattered per column."""
+    rng = np.random.default_rng(42)
+    n, k = 300, 3
+    X = rng.normal(size=(n, k)) * 10
+    # scatter NAs independently per column so pair masks differ
+    for j in range(k):
+        X[rng.random(n) < 0.15, j] = np.nan
+    for wts in (None, 0.9 ** np.arange(10, 0, -1.0)):
+        for center in (True, False):
+            pw = K.conv_cov_matrix(
+                X, 10, weights=wts, min_obs=3, center=center, complete_obs=False
+            )
+            for j in range(k):
+                for l in range(k):
+                    ref = K.conv_cov(
+                        X[:, j], X[:, l], 10, weights=wts, min_obs=3, center=center
+                    )
+                    assert np.allclose(
+                        pw[:, j, l], ref, equal_nan=True, atol=1e-10
+                    ), (j, l, wts is None, center)
+    comp = K.conv_cov_matrix(X, 10, min_obs=3, complete_obs=True)
+    pw = K.conv_cov_matrix(X, 10, min_obs=3, complete_obs=False)
+    both = np.isfinite(comp) & np.isfinite(pw)
+    assert (np.abs(comp[both] - pw[both]) > 1e-12).any(), (
+        "pairwise and complete-obs must differ on scattered-NA input"
+    )
+    # correlation flavor: off-diagonals match conv_cor per pair
+    pwc = K.conv_cov_matrix(X, 10, min_obs=3, scale=True, complete_obs=False)
+    refc = K.conv_cor(X[:, 0], X[:, 2], 10, min_obs=3)
+    assert np.allclose(pwc[:, 0, 2], refc, equal_nan=True, atol=1e-10)
+
+
 def test_cov_xy_matrix_constant_column_gates():
     """A constant y column yields exactly-zero cross moments (two-pass
     mean pinning), never NaN from cancellation."""
