@@ -384,6 +384,21 @@ def q_roll_mean_narestore_w10(spark, sf_dir):
     return _sel(df, "s", "nr_mean10")
 
 
+def q_roll_mean_completeobs_w10(spark, sf_dir):
+    """Single-series op with matrix complete_obs semantics via
+    mask_cols: rows where the SIBLING column is NULL drop out of the
+    value's windows before any counting (reference matrix row mask,
+    src/roll.cpp:103-125)."""
+    ev = _with_lag(spark, sf_dir).withColumn(
+        "sib",
+        F.when(F.round(F.col("value_lag") * 100, 0).cast("long") % 5 == 0,
+               F.lit(None).cast("double")).otherwise(F.col("value_lag")),
+    )
+    df = roll_mean(ev, "value", "user_id", "ts", 10, min_obs=5,
+                   mask_cols=["sib"], out="s")
+    return _sel(df, "s", "co_mean10")
+
+
 def q_roll_lm2_w20(spark, sf_dir):
     """k=2 rolling OLS via the rolling-XtX/Xty Arrow kernel; oracle solves
     the same normal equations in closed form (Cramer's rule)."""
@@ -832,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_lm2_w20": q_roll_lm2_w20,
         "roll_cov_matrix_w10": q_roll_cov_matrix_w10,
         "roll_cov_matrix_pairwise_w10": q_roll_cov_matrix_pairwise_w10,
+        "roll_mean_completeobs_w10": q_roll_mean_completeobs_w10,
         "roll_mean_chunked_w10": q_roll_mean_chunked_w10,
         "roll_median_w400": q_roll_median_w400,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
@@ -851,7 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         # -- tail: twice-green thin variants (crosscheck-verified) -----
-        "roll_min_w10": q_roll_min_w10,  # first tail slot: displaced by new r3 queries
+        "roll_min_w10": q_roll_min_w10,  # tail slots: displaced by new r3 queries
         "roll_max_w10": q_roll_max_w10,
         "roll_sd_w10": q_roll_sd_w10,
         "roll_all_w10": q_roll_all_w10,
@@ -1685,6 +1701,22 @@ def oracle_sql() -> dict[str, str]:
                     THEN covar_samp(x, y) OVER ({_W10}) END, 6) AS vxy,
               ROUND(1e-7 + CASE WHEN count(x) OVER ({_W10}) >= 5
                     THEN var_samp(y) OVER ({_W10}) END, 6) AS vyy
+            FROM m""",
+        "roll_mean_completeobs_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS vl
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                CASE WHEN vl IS NOT NULL
+                          AND CAST(round(vl * 100, 0) AS BIGINT) % 5 != 0
+                     THEN value END AS v
+              FROM t
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(v) OVER ({_W10}) >= 5
+                    THEN avg(v) OVER ({_W10}) END, 6) AS co_mean10
             FROM m""",
         "roll_cov_matrix_pairwise_w10": f"""
             WITH t AS (

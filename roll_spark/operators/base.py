@@ -9,6 +9,7 @@ complete_obs gating. Reference evidence for the gates:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 from pyspark.sql import Column, Window, WindowSpec
@@ -46,6 +47,34 @@ def masked(value: Column, mask_cols: Sequence[Column]) -> Column:
     if cond is None:
         return value
     return F.when(cond, F.lit(None)).otherwise(value)
+
+
+def complete_obs_maskable(fn):
+    """Grow a single-series op a ``mask_cols=`` keyword.
+
+    The reference accepts MATRIX input on every vector op: with
+    complete_obs=TRUE a row missing ANY column is excluded from every
+    column's windows (row mask built at src/roll.cpp:103-125). The
+    long-format equivalent is masking the value column against its
+    sibling columns BEFORE windowing — ``mask_cols`` names those
+    siblings. The mask applies before everything downstream (min_obs
+    counts, na_restore) exactly as the reference masks the matrix
+    first. Works on both the native Catalyst path and the Arrow
+    dispatch (the masked value travels as a temp column, dropped from
+    the result).
+    """
+
+    @functools.wraps(fn)
+    def wrapper(df, value, *args, mask_cols: Cols | None = None, **kw):
+        if not mask_cols:
+            return fn(df, value, *args, **kw)
+        tmp = f"__rs_cm_{value}"
+        df = df.withColumn(
+            tmp, masked(F.col(value), [F.col(c) for c in _as_list(mask_cols)])
+        )
+        return fn(df, tmp, *args, **kw).drop(tmp)
+
+    return wrapper
 
 
 def gate(

@@ -38,6 +38,7 @@ from roll_spark.operators.base import (
     Cols,
     _as_list,
     clamp_var,
+    complete_obs_maskable,
     gate,
     masked,
     ordered_window,
@@ -82,6 +83,7 @@ QUANTILE_NATIVE_MAX_WIDTH = 256
 # ---------------------------------------------------------------------------
 
 
+@complete_obs_maskable
 def roll_sum(
     df: DataFrame,
     value: str,
@@ -104,6 +106,7 @@ def roll_sum(
     return df.withColumn(out, gate(spec, v, F.sum(v).over(w), F.count(v).over(w)))
 
 
+@complete_obs_maskable
 def roll_mean(
     df: DataFrame,
     value: str,
@@ -126,6 +129,7 @@ def roll_mean(
     return df.withColumn(out, gate(spec, v, F.avg(v).over(w), F.count(v).over(w)))
 
 
+@complete_obs_maskable
 def roll_prod(
     df: DataFrame,
     value: str,
@@ -162,6 +166,7 @@ def roll_prod(
     return df.withColumn(out, gate(spec, v, prod, n_obs))
 
 
+@complete_obs_maskable
 def roll_min(
     df: DataFrame,
     value: str,
@@ -189,6 +194,7 @@ def roll_min(
     return df.withColumn(out, gate(spec, v, F.min(v).over(w), F.count(v).over(w)))
 
 
+@complete_obs_maskable
 def roll_max(
     df: DataFrame,
     value: str,
@@ -248,6 +254,7 @@ def _idx_extreme(
     return df.withColumn(out, gate(spec, v, idx, n_obs).cast("int"))
 
 
+@complete_obs_maskable
 def roll_idxmin(
     df, value, by, order, width, *, min_obs=None, na_restore=False,
     weights=None, out="roll_idxmin"
@@ -259,6 +266,7 @@ def roll_idxmin(
     return _idx_extreme(df, value, by, order, width, min_obs, na_restore, out, True)
 
 
+@complete_obs_maskable
 def roll_idxmax(
     df, value, by, order, width, *, min_obs=None, na_restore=False,
     weights=None, out="roll_idxmax"
@@ -268,6 +276,7 @@ def roll_idxmax(
     return _idx_extreme(df, value, by, order, width, min_obs, na_restore, out, False)
 
 
+@complete_obs_maskable
 def roll_quantile(
     df: DataFrame,
     value: str,
@@ -347,6 +356,7 @@ def roll_quantile(
     return df.withColumn(out, gate(spec, v, q, n))
 
 
+@complete_obs_maskable
 def roll_median(
     df, value, by, order, width, *, min_obs=None, complete_obs=False,
     na_restore=False, weights=None, out="roll_median"
@@ -358,6 +368,7 @@ def roll_median(
     )
 
 
+@complete_obs_maskable
 def roll_var(
     df: DataFrame,
     value: str,
@@ -392,6 +403,7 @@ def roll_var(
     return df.withColumn(out, gate(spec, v, clamp_var(raw), n_obs, need_two=True))
 
 
+@complete_obs_maskable
 def roll_sd(
     df, value, by, order, width, *, min_obs=None, complete_obs=False,
     na_restore=False, weights=None, center=True, out="roll_sd"
@@ -405,6 +417,7 @@ def roll_sd(
     return res.withColumn(out, F.sqrt(F.col(tmp))).drop(tmp)
 
 
+@complete_obs_maskable
 def roll_scale(
     df: DataFrame,
     value: str,
@@ -571,6 +584,7 @@ def roll_crossprod(
 # ---------------------------------------------------------------------------
 
 
+@complete_obs_maskable
 def roll_any(
     df: DataFrame,
     value: str,
@@ -602,6 +616,7 @@ def roll_any(
     return df.withColumn(out, gate(spec, v, stat, n_obs))
 
 
+@complete_obs_maskable
 def roll_all(
     df: DataFrame,
     value: str,

@@ -217,3 +217,43 @@ def test_degenerate_inputs_never_raise(spark):
     ]
     for out in outs:
         out.collect()  # must not raise
+
+
+def test_mask_cols_complete_obs(spark):
+    """mask_cols applies the matrix complete_obs row mask before
+    windowing: rows with a NULL sibling vanish from counts and sums, on
+    BOTH the native path and the weighted Arrow dispatch; the temp mask
+    column never leaks into the result."""
+    from pyspark.sql import functions as F
+
+    from roll_spark import roll_mean
+
+    rows = [("s", i, float(i), None if i % 3 == 0 else 1.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, i int, v double, sib double")
+    out = roll_mean(df, "v", "g", "i", 4, min_obs=2, mask_cols=["sib"], out="m")
+    assert "__rs_cm_v" not in out.columns
+    got = {r["i"]: r["m"] for r in out.collect()}
+    # manual mask: v_i dropped when i % 3 == 0
+    import numpy as np
+    vs = [None if i % 3 == 0 else float(i) for i in range(12)]
+    for i in range(12):
+        win = [x for x in vs[max(0, i - 3) : i + 1] if x is not None]
+        exp = float(np.mean(win)) if len(win) >= 2 else None
+        assert (got[i] is None and exp is None) or abs(got[i] - exp) < 1e-12, i
+    # weighted dispatch honors the same mask
+    outw = roll_mean(
+        df, "v", "g", "i", 4, min_obs=2, mask_cols=["sib"],
+        weights=[0.5, 1.0, 2.0, 4.0], out="m",
+    )
+    assert "__rs_cm_v" not in outw.columns
+    goww = {r["i"]: r["m"] for r in outw.collect()}
+    wts = [0.5, 1.0, 2.0, 4.0]
+    for i in range(12):
+        sl = vs[max(0, i - 3) : i + 1]
+        w_sl = wts[-len(sl):]
+        pairs = [(w, x) for w, x in zip(w_sl, sl) if x is not None]
+        if len(pairs) >= 2:
+            exp = sum(w * x for w, x in pairs) / sum(w for w, _ in pairs)
+            assert abs(goww[i] - exp) < 1e-10, i
+        else:
+            assert goww[i] is None, i
