@@ -154,8 +154,72 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_n=2)
     vids = media.filter(F.col("kind") == "video").count()
     assert plan.count() >= vids
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decoder="real")
+    # random bytes are not valid PPM/WAV: the real decoder yields NULL
+    # features instead of failing the batch
+    real = extract_features(media, decoder="real").collect()
+    assert len(real) == 48 and all(r["features"] is None for r in real)
+
+
+def test_real_decoders_numpy_oracle():
+    """PPM/PGM and WAV decode bit-exactly against the arrays that
+    generated the fixtures (pure-numpy public formats, no codec libs)."""
+    from roll_spark.datapipe.multimodal import (
+        _real_decode,
+        _stats_vector,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(99)
+    # 8-bit RGB with a header comment, 16-bit grayscale
+    img8 = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    blob = encode_ppm(img8)
+    blob = blob[:2] + b"\n# a comment\n" + blob[3:]  # spec allows comments
+    assert np.array_equal(decode_ppm(blob), img8)
+    img16 = rng.integers(0, 65536, (9, 11, 1), dtype=np.uint16)
+    assert np.array_equal(decode_ppm(encode_ppm(img16)), img16)
+    # 16-bit PCM stereo round-trips to quantization; float32 exact
+    sig = np.sin(np.linspace(0, 20, 800)).reshape(-1, 2) * 0.7
+    dec, rate = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and dec.shape == sig.shape
+    assert np.abs(dec - sig).max() < 1.0 / 32768
+    decf, _ = decode_wav(encode_wav(sig, 8000, bits=32))
+    assert np.array_equal(decf, sig.astype(np.float32).astype(np.float64))
+    # feature contract: real features == stats of the source arrays
+    f_img = _real_decode(encode_ppm(img8), "image")
+    assert np.allclose(f_img, _stats_vector(img8.astype(np.float64).ravel()))
+    f_aud = _real_decode(encode_wav(sig, 16000), "audio")
+    assert np.allclose(f_aud, _stats_vector(dec.ravel()))
+    # unsupported payloads -> None, never an exception
+    assert _real_decode(b"\x89PNG\r\n", "image") is None
+    assert _real_decode(b"ID3\x04", "audio") is None
+    assert _real_decode(encode_ppm(img8), "video") is None
+
+
+def test_real_decoder_spark_path(spark):
+    """decoder='real' through mapInPandas on genuine PPM/WAV payloads."""
+    from roll_spark.datapipe.multimodal import encode_ppm, encode_wav
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):
+        img = rng.integers(0, 256, (8 + i, 5, 3), dtype=np.uint8)
+        rows.append((i, "image", {"width": 5, "height": 8 + i, "sample_rate": None},
+                     encode_ppm(img)))
+        sig = rng.normal(size=64) * 0.1
+        rows.append((100 + i, "audio", {"width": None, "height": None,
+                                        "sample_rate": 16000},
+                     encode_wav(sig, 16000)))
+    from roll_spark.datapipe.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"]
+           for r in extract_features(media, decoder="real").collect()}
+    assert len(out) == 12
+    for i in range(6):
+        assert out[i] is not None and out[i][0] == (8 + i) * 5 * 3
+        assert out[100 + i] is not None and out[100 + i][0] == 64
 
 
 def test_ivf_topk_recall(spark, emb):
