@@ -280,6 +280,35 @@ def q_stream_tier_1m(spark, sf_dir):
     )
 
 
+def q_stream_tier_1h(spark, sf_dir):
+    """Streaming finest tier + BATCH cascade: drain events into the 1m
+    TierStore via availableNow micro-batches, then derive 1h by Chan-
+    merging the STORED 1m stats (cascade_from_store). The oracle
+    recomputes 1h directly from raw — proving stream + store + merge
+    compose exactly (the production shape: stream keeps the finest tier
+    hot; coarser tiers are periodic batch merges over the store)."""
+    import tempfile
+
+    from roll_spark.streaming.rollup import cascade_from_store, run_stream_to_tier
+
+    base = tempfile.mkdtemp(prefix="roll_stream_1h_gate_")
+    ev = _events(spark, sf_dir)
+    ev.repartition(4).write.mode("overwrite").parquet(f"{base}/src")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    run_stream_to_tier(
+        spark, f"{base}/src", schema, "value", "ts", "user_id",
+        tier="1m", store_path=f"{base}/store",
+        checkpoint_dir=f"{base}/ckpt", max_files_per_trigger=1,
+    )
+    tiers = cascade_from_store(spark, f"{base}/store", "user_id", tiers=("1h",))
+    stats = T.finalize(tiers["1h"])
+    return stats.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
 def q_stream_roll_mean_w10(spark, sf_dir):
     """STATEFUL STREAMING rolling mean (applyInPandasWithState carrying
     the online kernel's window state across micro-batches): events are
@@ -862,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1d_cascade": q_tier_1d_cascade,
         "tier_1m_from_chunks": q_tier_1m_from_chunks,
         "stream_tier_1m": q_stream_tier_1m,
+        "stream_tier_1h": q_stream_tier_1h,
         "stream_roll_mean_w10": q_stream_roll_mean_w10,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
@@ -1765,6 +1795,8 @@ def oracle_sql() -> dict[str, str]:
         # batch 1m rollup -> same oracle as tier_1m_stats
         "tier_1m_from_chunks": _TIER_STATS.format(unit="minute"),
         "stream_tier_1m": _TIER_STATS.format(unit="minute"),
+        # streamed 1m store + batch Chan merge to 1h == direct 1h from raw
+        "stream_tier_1h": _TIER_STATS.format(unit="hour"),
         # the STATEFUL streaming rolling mean must equal the plain batch
         # rolling mean -> same oracle as roll_mean_w10
         "stream_roll_mean_w10": f"""
