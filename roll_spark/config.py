@@ -75,11 +75,17 @@ class RollSpec:
     center: bool = True
     scale: bool = False
     p: float = 0.5  # quantile only
+    # skew guard for the Arrow path: series longer than this are split
+    # into overlap-padded chunks (operators.chunked) so one giant
+    # conversation cannot pin a single task; None = one task per series
+    max_group_rows: int | None = None
     extra: dict = field(default_factory=dict, compare=False)
 
     def __post_init__(self) -> None:
         if self.width < 1:
             raise ValueError("width must be a positive integer")
+        if self.max_group_rows is not None and self.max_group_rows <= self.width:
+            raise ValueError("max_group_rows must exceed width")
         if self.min_obs is not None and self.min_obs < 1:
             raise ValueError("min_obs must be a positive integer")
         if not (0.0 <= self.p <= 1.0):

@@ -58,8 +58,19 @@ def _apply_kernel(
     order: Cols,
     out_fields: list[tuple[str, str]],
     kernel,
+    spec: RollSpec | None = None,
 ) -> DataFrame:
     """Run ``kernel(pdf) -> dict[out_col, np.ndarray]`` per series group.
+
+    Skew auto-dispatch: when ``spec.max_group_rows`` is set, EVERY
+    series is routed through the overlap-padded chunk layout
+    (operators.chunked) with that bound as the chunk size — a series
+    at or under the bound lands entirely in chunk 0 with zero pad rows
+    (only its grouping key widens), while a 10^9-turn conversation
+    becomes ceil(n / bound) independent tasks whose padded windows
+    reproduce the unchunked outputs exactly. The cost of the guard is
+    one extra row_number window pass + grouping on (series, chunk)
+    instead of (series).
 
     Two physical strategies:
 
@@ -78,6 +89,13 @@ def _apply_kernel(
       self-join may recompute the upstream plan with different physical
       layouts and disagree on every id).
     """
+    if spec is not None and spec.max_group_rows is not None:
+        from roll_spark.operators.chunked import chunk_pad, drop_pads
+
+        padded, keys = chunk_pad(df, by, order, spec.width, spec.max_group_rows)
+        return drop_pads(
+            _apply_kernel(padded, in_cols, keys, order, out_fields, kernel)
+        )
     by_l, order_l = _as_list(by), _as_list(order)
     key_cols = set(by_l) | set(order_l) | set(in_cols)
     wide = [
@@ -179,14 +197,14 @@ def _series_kernel_2(x_col: str, y_col: str, spec: RollSpec, fn, out: str, **kw)
 def _one(df, value, by, order, spec, fn, out, **kw):
     return _apply_kernel(
         df, [value], by, order, [(out, "double")],
-        _series_kernel_1(value, spec, fn, out, **kw),
+        _series_kernel_1(value, spec, fn, out, **kw), spec=spec,
     )
 
 
 def _two(df, x, y, by, order, spec, fn, out, **kw):
     return _apply_kernel(
         df, [x, y], by, order, [(out, "double")],
-        _series_kernel_2(x, y, spec, fn, out, **kw),
+        _series_kernel_2(x, y, spec, fn, out, **kw), spec=spec,
     )
 
 
@@ -324,7 +342,7 @@ def roll_lm_k(
             out[p + "se_intercept"] = res["se_intercept"]
         return out
 
-    res = _apply_kernel(df, x_cols + [y], by, order, fields, kernel)
+    res = _apply_kernel(df, x_cols + [y], by, order, fields, kernel, spec=spec)
     if flat:
         if len(x_cols) != 1:
             raise ValueError("flat=True requires exactly one regressor")
@@ -396,7 +414,7 @@ def roll_lm_multi(
                 out[f"{p}{yc}_se_intercept"] = res["se_intercept"]
         return out
 
-    return _apply_kernel(df, x_cols + y_cols, by, order, fields, kernel)
+    return _apply_kernel(df, x_cols + y_cols, by, order, fields, kernel, spec=spec)
 
 
 def roll_cov_xy_matrix(
@@ -431,7 +449,7 @@ def roll_cov_xy_matrix(
         ).reshape(len(X), -1)
         return {out: [[None if np.isnan(v) else float(v) for v in row] for row in cube]}
 
-    return _apply_kernel(df, x_cols + y_cols, by, order, [(out, "array<double>")], kernel)
+    return _apply_kernel(df, x_cols + y_cols, by, order, [(out, "array<double>")], kernel, spec=spec)
 
 
 def roll_cov_matrix(
@@ -467,4 +485,4 @@ def roll_cov_matrix(
         ).reshape(len(X), -1)
         return {out: [[None if np.isnan(v) else float(v) for v in row] for row in cube]}
 
-    return _apply_kernel(df, x_cols, by, order, [(out, "array<double>")], kernel)
+    return _apply_kernel(df, x_cols, by, order, [(out, "array<double>")], kernel, spec=spec)
