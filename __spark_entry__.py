@@ -692,6 +692,22 @@ def q_doc_lang_id(spark, sf_dir):
                       "lang_pred")
 
 
+def q_doc_lang_trigram(spark, sf_dir):
+    """Model-based language ID: per-language character-trigram profile
+    densities (fixed public textcat grams as literals; map-only JVM
+    string expressions) + argmax prediction. The oracle replays the
+    identical counting identity in SQL."""
+    from roll_spark.datapipe.text import lang_id_trigram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lang_id_trigram(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        *[_r6(f"score_{lg}").alias(f"score_{lg}") for lg in ("en", "es", "de", "fr")],
+        "lang_pred",
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from roll_spark.datapipe.dedup import ngram_jaccard_pairs
 
@@ -857,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_top5": q_ann_brute_top5,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
+        "doc_lang_trigram": q_doc_lang_trigram,
         # -- operator representatives ----------------------------------
         "roll_sum_w20": q_roll_sum_w20,
         "roll_var_w10": q_roll_var_w10,
@@ -922,6 +939,36 @@ _W10 = W.format(pre=9)
 _W20 = W.format(pre=19)
 _W5 = W.format(pre=4)
 _W4 = W.format(pre=3)
+
+
+def _lang_trigram_sql() -> str:
+    """Replay lang_id_trigram closed-form: the same literal grams, the
+    same non-overlapping replace-count identity, the same argmax with
+    profile-order tie-break."""
+    from roll_spark.datapipe.text import TRIGRAM_PROFILES
+
+    langs = list(TRIGRAM_PROFILES)
+    score_cols = []
+    for lg, grams in TRIGRAM_PROFILES.items():
+        terms = " + ".join(
+            f"CAST((length(p) - length(replace(p, '{g}', ''))) / {len(g)} AS BIGINT)"
+            for g in grams
+        )
+        score_cols.append(
+            f"CAST({terms} AS DOUBLE) * 100.0 / greatest(length(p), 1) AS s_{lg}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lg} >= {best} AND {best} >= 0.5 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'unk' END"
+    rounded = ", ".join(f"ROUND(1e-7 + s_{lg}, 6) AS score_{lg}" for lg in langs)
+    return f"""
+        WITH padded AS (
+          SELECT doc_id, ' ' || text || ' ' AS p FROM documents
+        ), s AS (
+          SELECT doc_id, {", ".join(score_cols)} FROM padded
+        )
+        SELECT doc_id, {rounded}, {pred} AS lang_pred FROM s"""
 
 # HF type-2 quantile over a window list: c = max(1, ceil(n*(1-p)));
 # average sorted[n-c] with sorted[n-c-1] when n*(1-p) hits an integer.
@@ -1109,6 +1156,7 @@ def _datapipe_oracles() -> dict[str, str]:
                     (CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 1.0 ELSE 0.5 END) *
                     (1.0 - digit_ratio), 6) AS quality
             FROM g""",
+        "doc_lang_trigram": _lang_trigram_sql(),
         "doc_lang_id": """
             WITH f AS (
               SELECT doc_id, ' ' || text || ' ' AS padded,

@@ -144,6 +144,39 @@ def test_text_ops_match_python(spark, docs):
         assert lang[d]["en_markers"] == markers, d
 
 
+def test_lang_id_trigram_accuracy(spark):
+    """The trigram-profile classifier separates all four profiled
+    languages on a real multilingual fixture; the marker-word heuristic
+    cannot (es/de -> 'unk', fr -> mislabeled 'en' via the ' a ' marker).
+    This is the accuracy evidence the synthetic documents corpus can't
+    provide (its lang labels are uncorrelated with the pseudo-text)."""
+    from roll_spark.datapipe.text import lang_id, lang_id_trigram
+
+    docs = [
+        (0, "the cat and the dog are playing in the garden of the old house "
+            "and the sun is shining", "en"),
+        (1, "el perro y el gato juegan en el jardin de la casa que esta "
+            "cerca de la plaza del pueblo", "es"),
+        (2, "der hund und die katze spielen in dem garten und die sonne "
+            "scheint durch die einen fenster", "de"),
+        (3, "le chien et le chat jouent dans le jardin de la maison et le "
+            "temps est beau ce matin a paris", "fr"),
+        (4, "zzzz qqqq kkkk 1234 9876", "unk"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, truth string")
+    pred = {
+        r["doc_id"]: r["lang_pred"]
+        for r in lang_id_trigram(df, "text", "doc_id").collect()
+    }
+    for i, _t, truth in docs:
+        assert pred[i] == truth, (i, pred[i], truth)
+    old = {
+        r["doc_id"]: r["lang_pred"] for r in lang_id(df, "text", "doc_id").collect()
+    }
+    wrong_old = sum(1 for i, _t, truth in docs if old[i] != truth)
+    assert wrong_old >= 2  # the heuristic misses most non-English docs
+
+
 def test_multimodal_plumbing(spark):
     media = synthesize_media(spark, n=48)
     feats = extract_features(media).collect()
