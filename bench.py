@@ -55,6 +55,7 @@ HEADLINE = [
     "tier_1h_cascade",
     "gapfill_locf_1h",
     "dedup_exact",
+    "doc_lang_trigram",     # text-analysis family (map-only JVM strings)
     "ngram_jaccard_pairs",
     "emb_neardup_lsh_scale",  # banded near-dup at its pruning operating point
     "ann_brute_top5",
@@ -72,22 +73,71 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_headline() -> tuple[dict[str, float], float]:
+def run_headline() -> tuple[dict[str, float], float, dict[str, list[float]]]:
+    """Each headline query runs ROLL_BENCH_HEADLINE_ITERS times (default
+    2); the headline number is min-of-iters (interference only ever
+    slows an iteration down) and ALL walls are reported so a reader can
+    see the noise band per query."""
     import __spark_entry__ as entry
     from roll_spark.session import get_spark
 
+    iters = int(os.environ.get("ROLL_BENCH_HEADLINE_ITERS", "2"))
     spark = get_spark(cpus=CPUS, app_name="roll_spark_bench")
     qs = entry.queries()
-    timings: dict[str, float] = {}
+    walls: dict[str, list[float]] = {}
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        _noop_write(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
-    return timings, round(sum(timings.values()), 3)
+        ws = []
+        for _ in range(iters):
+            t0 = time.time()
+            _noop_write(qs[name](spark, SF_DIR))
+            ws.append(round(time.time() - t0, 3))
+        walls[name] = ws
+    timings = {n: min(w) for n, w in walls.items()}
+    return timings, round(sum(timings.values()), 3), walls
+
+
+def codec_bench(n: int = 300_000) -> dict:
+    """Gorilla codec throughput: scalar RSG1 oracle vs vectorized RSG2
+    (min-of-3, random-cadence noisy doubles with 5% NaN)."""
+    import numpy as np
+
+    from roll_spark.compression import (
+        decode_chunk,
+        decode_chunk_v2,
+        encode_chunk,
+        encode_chunk_v2,
+    )
+
+    rng = np.random.default_rng(7)
+    ts = np.cumsum(rng.integers(1, 10**7, n)).astype(np.int64)
+    vals = rng.normal(size=n) * 100
+    vals[rng.random(n) < 0.05] = np.nan
+    out: dict = {}
+    for name, enc, dec in (
+        ("scalar", encode_chunk, decode_chunk),
+        ("v2", encode_chunk_v2, decode_chunk_v2),
+    ):
+        be = bd = float("inf")
+        blob = b""
+        for _ in range(3):
+            t0 = time.perf_counter()
+            blob = enc(ts, vals)
+            t1 = time.perf_counter()
+            dec(blob)
+            t2 = time.perf_counter()
+            be, bd = min(be, t1 - t0), min(bd, t2 - t1)
+        out[name] = {
+            "encode_mpts": round(n / be / 1e6, 2),
+            "decode_mpts": round(n / bd / 1e6, 2),
+            "bytes_per_pt": round(len(blob) / n, 2),
+        }
+    out["encode_speedup"] = round(out["v2"]["encode_mpts"] / out["scalar"]["encode_mpts"], 1)
+    out["decode_speedup"] = round(out["v2"]["decode_mpts"] / out["scalar"]["decode_mpts"], 1)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -281,7 +331,7 @@ def run_scaling(rows: int, pairs: int = 3) -> dict:
     }
 
 
-def write_bench_md(timings, total, scaling):
+def write_bench_md(timings, total, scaling, walls=None, codec=None):
     md = REPO / "BENCH.md"
     if scaling is None and md.exists() and "## Scaling" in md.read_text():
         # keep the last full run's scaling evidence; only refresh headline
@@ -293,13 +343,32 @@ def write_bench_md(timings, total, scaling):
         "# BENCH — roll_spark",
         "",
         f"Headline queries at `{SF_DIR}` on `local[{CPUS}]` (noop-write, full",
-        "materialization):",
+        "materialization). `sec` = min over the per-query iteration walls",
+        "shown alongside (interference only slows an iteration down, so the",
+        "min is the least-interfered observation; a wide band = noise wave):",
         "",
-        "| query | sec |",
-        "| --- | --- |",
+        "| query | sec | iteration walls |",
+        "| --- | --- | --- |",
     ]
-    lines += [f"| {k} | {v} |" for k, v in timings.items()]
-    lines += ["", f"**Total: {total} s**", ""]
+    walls = walls or {}
+    lines += [f"| {k} | {v} | {walls.get(k, [v])} |" for k, v in timings.items()]
+    lines += ["", f"**Total (min-of-iters): {total} s**", ""]
+    if codec:
+        lines += [
+            "## Gorilla codec throughput (single core, 300k points, min-of-3)",
+            "",
+            "| codec | encode Mpts/s | decode Mpts/s | bytes/pt |",
+            "| --- | --- | --- | --- |",
+            f"| scalar RSG1 (oracle) | {codec['scalar']['encode_mpts']} |"
+            f" {codec['scalar']['decode_mpts']} | {codec['scalar']['bytes_per_pt']} |",
+            f"| vectorized RSG2 (production) | {codec['v2']['encode_mpts']} |"
+            f" {codec['v2']['decode_mpts']} | {codec['v2']['bytes_per_pt']} |",
+            "",
+            f"**RSG2 speedup: {codec['encode_speedup']}x encode,"
+            f" {codec['decode_speedup']}x decode** (same compressed size;"
+            " bit-exact round-trip tested against the scalar oracle).",
+            "",
+        ]
     if scaling:
         ln, l4n = scaling["localN"], scaling["local4N"]
         n, n4 = scaling["n_cores"], scaling["n4_cores"]
@@ -380,14 +449,19 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
         scaling_worker(int(sys.argv[2]), int(sys.argv[3]))
         return
-    timings, total = run_headline()
+    timings, total, walls = run_headline()
+    codec = codec_bench()
     scaling = None
     if os.environ.get("ROLL_BENCH_SKIP_SCALING") != "1":
         try:
             scaling = run_scaling(SCALING_ROWS)
         except Exception as e:  # scaling evidence is best-effort extra
             scaling = {"error": f"{type(e).__name__}: {e}"}
-    write_bench_md(timings, total, scaling if scaling and "error" not in scaling else None)
+    write_bench_md(
+        timings, total,
+        scaling if scaling and "error" not in scaling else None,
+        walls=walls, codec=codec,
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -397,6 +471,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_walls": walls,
+                "gorilla_codec": codec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "scaling": scaling,
             }
