@@ -318,22 +318,30 @@ def q_stream_roll_mean_w10(spark, sf_dir):
     oracle is the plain batch rolling-mean SQL, so the driver hash
     proves the streamed, state-carried computation equals the batch
     engine row for row."""
+    return _stream_roll_gate(spark, sf_dir, op="mean", min_obs=5,
+                             alias="mean10", qname="stream_roll_gate")
+
+
+def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5):
+    """Shared harness for the stateful-streaming gates: re-lay events as
+    four time-range files (global time split preserves each user's order
+    across files — the append-only delivery the operator needs), drain
+    as four micro-batches, return the streamed per-row stat."""
+    import glob as _glob
     import os
+    import shutil as _shutil
     import tempfile
+    import time as _time
 
     from pyspark.sql import Window as W_
 
     from roll_spark.streaming.rolling import stream_roll
 
-    base = tempfile.mkdtemp(prefix="roll_stream_roll_gate_")
+    base = tempfile.mkdtemp(prefix=f"roll_{qname}_")
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
     parts = ev.withColumn("part", F.ntile(4).over(W_.orderBy("ts")))
     src = f"{base}/src"
     os.makedirs(src, exist_ok=True)
-    import glob as _glob
-    import shutil as _shutil
-    import time as _time
-
     now = _time.time()
     for i in range(1, 5):
         d = f"{base}/w{i}"
@@ -344,17 +352,26 @@ def q_stream_roll_mean_w10(spark, sf_dir):
         os.utime(dst, (now - 60 + i, now - 60 + i))
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
     sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    out = stream_roll(sdf, "value", "user_id", "ts", 10, op="mean",
-                      min_obs=5, out="m")
-    qname = "stream_roll_gate"
+    out = stream_roll(sdf, "value", "user_id", "ts", 10, op=op, p=p,
+                      min_obs=min_obs, out="m")
     q = (out.writeStream.format("memory").queryName(qname)
          .outputMode("append")
          .option("checkpointLocation", f"{base}/ck")
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(qname).select(
-        "user_id", "ts", _r6(F.col("m")).alias("mean10")
+        "user_id", "ts", _r6(F.col("m")).alias(alias)
     )
+
+
+def q_stream_roll_quantile_w10(spark, sf_dir):
+    """STATEFUL STREAMING rolling quantile: the O(log w)/row online
+    dual-multiset kernel's state (both multisets + window history)
+    carried across micro-batches via applyInPandasWithState; the oracle
+    is the batch HF2 SQL — the driver hash proves the streamed order
+    statistics equal the batch sort-based engine row for row."""
+    return _stream_roll_gate(spark, sf_dir, op="quantile", p=0.25, min_obs=1,
+                             alias="q25", qname="stream_roll_q_gate")
 
 
 def q_gapfill_locf_1h(spark, sf_dir):
@@ -537,6 +554,30 @@ def q_roll_cor_matrix_w10(spark, sf_dir):
     return df.select(
         "user_id", "ts",
         _r6(F.col("m")[1]).alias("rxy"),
+    )
+
+
+def q_roll_cov_xy_pairwise_w10(spark, sf_dir):
+    """Cross cube with complete_obs=FALSE: each (x_j, y_l) pair over its
+    own pairwise-complete windows — lag/lead NULLs hit the two x columns
+    on different rows, so every cell's mask differs from the shared
+    complete-obs mask (gated separately as roll_cov_xy_w10)."""
+    from roll_spark.config import RollSpec
+    from roll_spark.operators.arrow_ops import roll_cov_xy_matrix
+
+    ow = ordered_window("user_id", "ts")
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("vlag", F.lag("value").over(ow))
+        .withColumn("vlead", F.lead("value").over(ow))
+    )
+    df = roll_cov_xy_matrix(ev, ["value", "vlag"], ["vlead"], "user_id", "ts",
+                            RollSpec(width=10, min_obs=5), complete_obs=False,
+                            out="m")
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("m")[0]).alias("cx1y"),
+        _r6(F.col("m")[1]).alias("cx2y"),
     )
 
 
@@ -897,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_mean_chunked_w10": q_roll_mean_chunked_w10,
         "roll_median_w400": q_roll_median_w400,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
+        "roll_cov_xy_pairwise_w10": q_roll_cov_xy_pairwise_w10,
         "roll_lm_multiy_w20": q_roll_lm_multiy_w20,
         "roll_mean_bykey_w10": q_roll_mean_bykey_w10,
         "tier_1m_p50": q_tier_1m_p50,
@@ -910,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tier_1m": q_stream_tier_1m,
         "stream_tier_1h": q_stream_tier_1h,
         "stream_roll_mean_w10": q_stream_roll_mean_w10,
+        "stream_roll_quantile_w10": q_stream_roll_quantile_w10,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1607,6 +1650,28 @@ def oracle_sql() -> dict[str, str]:
                                 AND y IS NOT NULL THEN 1 END) OVER ({_W10}) >= 5
                     THEN covar_samp(x2, y) OVER ({_W10}) END, 6) AS cx2y
             FROM m""",
+        "roll_cov_xy_pairwise_w10": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS vlag,
+                     lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS vlead
+              FROM events
+            ), m AS (
+              -- pairwise masks: each cross pair keeps rows where ONLY
+              -- its own two columns are observed
+              SELECT user_id, ts,
+                CASE WHEN vlead IS NOT NULL THEN value END AS x1p,
+                CASE WHEN value IS NOT NULL THEN vlead END AS y1p,
+                CASE WHEN vlead IS NOT NULL THEN vlag END AS x2p,
+                CASE WHEN vlag IS NOT NULL THEN vlead END AS y2p
+              FROM t
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(x1p) OVER ({_W10}) >= 5
+                    THEN covar_samp(x1p, y1p) OVER ({_W10}) END, 6) AS cx1y,
+              ROUND(1e-7 + CASE WHEN count(x2p) OVER ({_W10}) >= 5
+                    THEN covar_samp(x2p, y2p) OVER ({_W10}) END, 6) AS cx2y
+            FROM m""",
         "roll_lm_multiy_w20": f"""
             WITH t AS (
               SELECT user_id, ts, value AS y1,
@@ -1852,6 +1917,9 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
                     THEN avg(value) OVER ({_W10}) END, 6) AS mean10
             FROM events""",
+        # the STREAMED online dual-multiset quantile must equal the
+        # batch HF2 sort -> same oracle as roll_quantile_p25_w10
+        "stream_roll_quantile_w10": _HF2.format(w=_W10, q=0.75, alias="q25"),
         "gapfill_locf_1h": """
             WITH stats AS (
               SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS mean_x

@@ -425,13 +425,15 @@ def roll_cov_xy_matrix(
     order: Cols,
     spec: RollSpec,
     *,
+    complete_obs: bool = True,
     out: str = "roll_cov_xy",
 ) -> DataFrame:
     """Rolling k_x x k_y CROSS-covariance cube for an (x, y) matrix pair,
     flattened row-major into ``array<double>`` of length k_x*k_y — the
     reference's non-symmetric cube when roll_cov gets two matrices
-    (src/roll.cpp:1661-1679, roll_mat.h:3659). complete_obs across BOTH
-    matrices."""
+    (src/roll.cpp:1661-1679, roll_mat.h:3659). complete_obs=True masks
+    rows missing ANY column of either matrix; False computes each cross
+    pair over its own pairwise-complete windows."""
     weights = None if spec.weights is None else np.asarray(spec.weights)
     x_cols = list(x_cols)
     y_cols = list(y_cols)
@@ -445,7 +447,7 @@ def roll_cov_xy_matrix(
         )
         cube = K.conv_cov_xy_matrix(
             X, Y, spec.width, weights=weights, min_obs=spec.effective_min_obs,
-            center=spec.center,
+            center=spec.center, complete_obs=complete_obs,
         ).reshape(len(X), -1)
         return {out: [[None if np.isnan(v) else float(v) for v in row] for row in cube]}
 

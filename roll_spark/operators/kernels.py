@@ -719,38 +719,47 @@ def _conv_cov_matrix_pairwise(X, width, weights, min_obs, center, scale):
     """
     n, k = X.shape
     out = np.empty((n, k, k))
-    h = _kernel(weights, width)
     for j in range(k):
         for l in range(j, k):
-            xj, xl = X[:, j], X[:, l]
-            if center:
-                n_o, s_w, sq_w, ssx, ssy, ssxy, _, _ = _pair_window_moments(
-                    xj, xl if l != j else None, width, weights
-                )
-            else:
-                ok = ~np.isnan(xj) if l == j else (~np.isnan(xj) & ~np.isnan(xl))
-                okf = ok.astype(np.float64)
-                xv = np.where(ok, xj, 0.0)
-                yv = xv if l == j else np.where(ok, xl, 0.0)
-                n_o = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
-                s_w = _rollconv(okf, h)
-                sq_w = _rollconv(okf, h * h)
-                ssx = _rollconv(xv * xv, h)
-                ssy = ssx if l == j else _rollconv(yv * yv, h)
-                ssxy = ssx if l == j else _rollconv(xv * yv, h)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                if scale:
-                    c = ssxy / np.sqrt(ssx * ssy)
-                    c = np.where((ssx <= EPS) | (ssy <= EPS), np.nan, c)
-                else:
-                    c = ssxy / (s_w - sq_w / s_w)
-            c = np.where((n_o > 1) & (n_o >= min_obs), c, np.nan)
+            c = _pairwise_cell(
+                X[:, j], X[:, l] if l != j else None, width, weights,
+                min_obs, center, scale,
+            )
             out[:, j, l] = c
             out[:, l, j] = c
     return out
 
 
-def conv_cov_xy_matrix(X, Y, width, weights=None, min_obs=None, center=True):
+def _pairwise_cell(xj, xl, width, weights, min_obs, center, scale):
+    """One pairwise-complete (co)variance series; xl=None -> variance."""
+    if center:
+        n_o, s_w, sq_w, ssx, ssy, ssxy, _, _ = _pair_window_moments(
+            xj, xl, width, weights
+        )
+    else:
+        h = _kernel(weights, width)
+        ok = ~np.isnan(xj) if xl is None else (~np.isnan(xj) & ~np.isnan(xl))
+        okf = ok.astype(np.float64)
+        xv = np.where(ok, xj, 0.0)
+        yv = xv if xl is None else np.where(ok, xl, 0.0)
+        n_o = np.rint(_rollconv(okf, np.ones(width))).astype(np.int64)
+        s_w = _rollconv(okf, h)
+        sq_w = _rollconv(okf, h * h)
+        ssx = _rollconv(xv * xv, h)
+        ssy = ssx if xl is None else _rollconv(yv * yv, h)
+        ssxy = ssx if xl is None else _rollconv(xv * yv, h)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if scale:
+            c = ssxy / np.sqrt(ssx * ssy)
+            c = np.where((ssx <= EPS) | (ssy <= EPS), np.nan, c)
+        else:
+            c = ssxy / (s_w - sq_w / s_w)
+    return np.where((n_o > 1) & (n_o >= min_obs), c, np.nan)
+
+
+def conv_cov_xy_matrix(
+    X, Y, width, weights=None, min_obs=None, center=True, complete_obs=True
+):
     """Rolling k_x x k_y CROSS-covariance cube for an (x, y) matrix pair —
     the reference's non-symmetric cube when roll_cov is called with both
     x and y matrices (allocation src/roll.cpp:1661-1679, kernel
@@ -759,6 +768,8 @@ def conv_cov_xy_matrix(X, Y, width, weights=None, min_obs=None, center=True):
     complete_obs=TRUE semantics across BOTH matrices: a row with any
     missing column in X or Y is excluded from every pair's window
     (reference any_na over the joined matrix, src/roll.cpp:1625-1659).
+    complete_obs=FALSE: each (j, l) cross pair over its own
+    pairwise-complete windows (per-pair masks, src/roll.cpp:103-155).
     Returns (n, k_x, k_y) float64 with NaN where gated.
     """
     X = np.asarray(X, dtype=np.float64)
@@ -766,6 +777,14 @@ def conv_cov_xy_matrix(X, Y, width, weights=None, min_obs=None, center=True):
     n, kx = X.shape
     ky = Y.shape[1]
     min_obs = width if min_obs is None else min_obs
+    if not complete_obs:
+        out = np.empty((n, kx, ky))
+        for j in range(kx):
+            for l in range(ky):
+                out[:, j, l] = _pairwise_cell(
+                    X[:, j], Y[:, l], width, weights, min_obs, center, False
+                )
+        return out
     ok = ~np.isnan(X).any(axis=1) & ~np.isnan(Y).any(axis=1)
     M = np.where(ok[:, None], np.column_stack([X, Y]), np.nan)
     if center:

@@ -255,6 +255,26 @@ def test_cov_matrix_pairwise_complete():
     assert np.allclose(pwc[:, 0, 2], refc, equal_nan=True, atol=1e-10)
 
 
+def test_cov_xy_matrix_pairwise_complete():
+    """Cross cube with complete_obs=False: every (j, l) cell equals the
+    2-column pairwise kernel; differs from complete-obs on scattered NAs."""
+    rng = np.random.default_rng(5)
+    n = 200
+    X = rng.normal(size=(n, 2)) * 5
+    Y = rng.normal(size=(n, 2)) * 3
+    for M in (X, Y):
+        for j in range(2):
+            M[rng.random(n) < 0.2, j] = np.nan
+    pw = K.conv_cov_xy_matrix(X, Y, 8, min_obs=3, complete_obs=False)
+    for j in range(2):
+        for l in range(2):
+            ref = K.conv_cov(X[:, j], Y[:, l], 8, min_obs=3)
+            assert np.allclose(pw[:, j, l], ref, equal_nan=True, atol=1e-10), (j, l)
+    comp = K.conv_cov_xy_matrix(X, Y, 8, min_obs=3, complete_obs=True)
+    both = np.isfinite(comp) & np.isfinite(pw)
+    assert (np.abs(comp[both] - pw[both]) > 1e-12).any()
+
+
 def test_cov_xy_matrix_constant_column_gates():
     """A constant y column yields exactly-zero cross moments (two-pass
     mean pinning), never NaN from cancellation."""
