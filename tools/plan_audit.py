@@ -45,6 +45,15 @@ EXPECT = {
     # NEVER a cartesian (no BroadcastNestedLoopJoin over the corpus)
     "ngram_jaccard_pairs": dict(max_exchange=8, forbid_cartesian=True),
     "emb_neardup_lsh": dict(max_exchange=8, forbid_cartesian=True),
+    # round-3 additions
+    "roll_mean_completeobs_w10": dict(max_exchange=1, max_sort=1),
+    # per-pair masked cubes: window(lag) + groupBy + join-back, same
+    # budget as the complete-obs cube (pairwise masks are kernel-side)
+    "roll_cov_matrix_pairwise_w10": dict(max_exchange=3),
+    "roll_cov_xy_pairwise_w10": dict(max_exchange=3),
+    # trigram lang-ID must stay a map-only scan: zero shuffles, zero
+    # sorts, no join (the profiles are literals, not a lookup table)
+    "doc_lang_trigram": dict(max_exchange=0, max_sort=0),
 }
 
 
