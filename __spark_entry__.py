@@ -221,6 +221,40 @@ def q_tier_1h_cascade(spark, sf_dir):
     )
 
 
+def q_tier_1h_checkpointed(spark, sf_dir):
+    """The cascade run THROUGH the lineage-checkpointed pipeline: each
+    tier is a CheckpointedPipeline stage (manifest + parquet spill),
+    and the 1h tier is built a SECOND time from the manifests (resume
+    path — zero recompute) before being returned. The oracle is the
+    direct-from-raw 1h recompute, so the driver hash proves
+    checkpoint-write -> resume-read round-trips the tier exactly."""
+    import tempfile
+
+    from roll_spark.plans.checkpoint import CheckpointedPipeline
+
+    base = tempfile.mkdtemp(prefix="roll_ckpt_gate_")
+    ev = _events(spark, sf_dir)
+    params = {"sf": sf_dir, "tiers": "1m,1h"}
+
+    def run_once():
+        pipe = CheckpointedPipeline(spark, base)
+        t1m = pipe.stage(
+            "tier_1m", lambda: T.rollup_raw(ev, "value", "ts", "user_id", "1m"),
+            params=params,
+        )
+        return pipe.stage(
+            "tier_1h", lambda: T.merge_tier(t1m, "user_id", "1h"), params=params
+        )
+
+    run_once()  # populates the checkpoint store
+    stats = T.finalize(run_once())  # resume: served from manifests
+    return stats.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
 def q_tier_1d_cascade(spark, sf_dir):
     c = T.cascade(_events(spark, sf_dir), "value", "ts", "user_id", tiers=("1m", "1h", "1d"))
     stats = T.finalize(c["1d"])
@@ -947,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_roll_mean_w10": q_latency_roll_mean_w10,
         "tier_1m_stats": q_tier_1m_stats,
         "tier_1h_cascade": q_tier_1h_cascade,
+        "tier_1h_checkpointed": q_tier_1h_checkpointed,
         "tier_1d_cascade": q_tier_1d_cascade,
         "tier_1m_from_chunks": q_tier_1m_from_chunks,
         "stream_tier_1m": q_stream_tier_1m,
@@ -1903,6 +1938,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t""",
         "tier_1m_stats": _TIER_STATS.format(unit="minute"),
         "tier_1h_cascade": _TIER_STATS.format(unit="hour"),
+        # checkpoint-write -> manifest-resume must round-trip the tier
+        "tier_1h_checkpointed": _TIER_STATS.format(unit="hour"),
         "tier_1d_cascade": _TIER_STATS.format(unit="day"),
         # the compression and streaming paths must reproduce the exact
         # batch 1m rollup -> same oracle as tier_1m_stats
