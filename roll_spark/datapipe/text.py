@@ -97,9 +97,11 @@ TRIGRAM_PROFILES: dict[str, list[str]] = {
 def _count_expr(padded: Column, gram: str) -> Column:
     """Non-overlapping occurrence count of a literal gram via the
     length-difference identity — byte-identical in Spark and DuckDB
-    (both replace left-to-right, non-overlapping)."""
+    (both replace left-to-right, non-overlapping). Literal F.replace,
+    not regexp_replace: no regex engine in the hot loop (40 counts/row)."""
     return (
-        (F.length(padded) - F.length(F.regexp_replace(padded, gram, ""))) / len(gram)
+        (F.length(padded) - F.length(F.replace(padded, F.lit(gram), F.lit(""))))
+        / len(gram)
     ).cast("long")
 
 
