@@ -356,11 +356,14 @@ def q_stream_roll_mean_w10(spark, sf_dir):
                              alias="mean10", qname="stream_roll_gate")
 
 
-def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5):
+def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5,
+                      y=None, rnd=None):
     """Shared harness for the stateful-streaming gates: re-lay events as
     four time-range files (global time split preserves each user's order
     across files — the append-only delivery the operator needs), drain
-    as four micro-batches, return the streamed per-row stat."""
+    as four micro-batches, return the streamed per-row stat. ``y``
+    optionally derives a second series column (SQL expression over
+    value) for the bivariate ops."""
     import glob as _glob
     import os
     import shutil as _shutil
@@ -373,6 +376,8 @@ def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5):
 
     base = tempfile.mkdtemp(prefix=f"roll_{qname}_")
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    if y is not None:
+        ev = ev.withColumn("y", F.expr(y))
     parts = ev.withColumn("part", F.ntile(4).over(W_.orderBy("ts")))
     src = f"{base}/src"
     os.makedirs(src, exist_ok=True)
@@ -387,14 +392,15 @@ def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5):
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
     sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     out = stream_roll(sdf, "value", "user_id", "ts", 10, op=op, p=p,
-                      min_obs=min_obs, out="m")
+                      y=None if y is None else "y", min_obs=min_obs, out="m")
     q = (out.writeStream.format("memory").queryName(qname)
          .outputMode("append")
          .option("checkpointLocation", f"{base}/ck")
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    rounder = rnd if rnd is not None else _r6
     return spark.table(qname).select(
-        "user_id", "ts", _r6(F.col("m")).alias(alias)
+        "user_id", "ts", rounder(F.col("m")).alias(alias)
     )
 
 
@@ -406,6 +412,21 @@ def q_stream_roll_quantile_w10(spark, sf_dir):
     statistics equal the batch sort-based engine row for row."""
     return _stream_roll_gate(spark, sf_dir, op="quantile", p=0.25, min_obs=1,
                              alias="q25", qname="stream_roll_q_gate")
+
+
+def q_stream_roll_cov_w10(spark, sf_dir):
+    """STATEFUL STREAMING rolling covariance: the bivariate Welford
+    co-moment state (insert/evict) carried across micro-batches; the
+    second series is the deterministic y = value^2/100, so the batch
+    covar_samp SQL is the exact oracle. Rounded at 3 decimals (1e-4
+    nudge): the online insert/evict co-moment vs the oracle's two-pass
+    carries irreducible ~kappa*eps discrepancy (mixed-sign products),
+    which flakes at 6 decimals on values this large."""
+    return _stream_roll_gate(
+        spark, sf_dir, op="cov", min_obs=5, alias="cov10",
+        qname="stream_roll_cov_gate", y="value * value / 100.0",
+        rnd=lambda c: F.round(c + F.lit(1e-4), 3),
+    )
 
 
 def q_gapfill_locf_1h(spark, sf_dir):
@@ -988,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tier_1h": q_stream_tier_1h,
         "stream_roll_mean_w10": q_stream_roll_mean_w10,
         "stream_roll_quantile_w10": q_stream_roll_quantile_w10,
+        "stream_roll_cov_w10": q_stream_roll_cov_w10,
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1957,6 +1979,14 @@ def oracle_sql() -> dict[str, str]:
         # the STREAMED online dual-multiset quantile must equal the
         # batch HF2 sort -> same oracle as roll_quantile_p25_w10
         "stream_roll_quantile_w10": _HF2.format(w=_W10, q=0.75, alias="q25"),
+        # streamed bivariate Welford co-moment == batch covar_samp over
+        # (value, value^2/100) windows
+        "stream_roll_cov_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1e-4 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                    THEN covar_samp(value, value * value / 100.0) OVER ({_W10})
+                    END, 3) AS cov10
+            FROM events""",
         "gapfill_locf_1h": """
             WITH stats AS (
               SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS mean_x
