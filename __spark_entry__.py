@@ -1003,7 +1003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1m_stats": q_tier_1m_stats,
         "tier_1h_cascade": q_tier_1h_cascade,
         "tier_1h_checkpointed": q_tier_1h_checkpointed,
-        "tier_1d_cascade": q_tier_1d_cascade,
         "tier_1m_from_chunks": q_tier_1m_from_chunks,
         "stream_tier_1m": q_stream_tier_1m,
         "stream_tier_1h": q_stream_tier_1h,
@@ -1014,7 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         # -- tail: twice-green thin variants (crosscheck-verified) -----
-        "roll_min_w10": q_roll_min_w10,  # tail slots: displaced by new r3 queries
+        "tier_1d_cascade": q_tier_1d_cascade,  # thin extension of in-window 1h
+        "roll_min_w10": q_roll_min_w10,
         "roll_max_w10": q_roll_max_w10,
         "roll_sd_w10": q_roll_sd_w10,
         "roll_all_w10": q_roll_all_w10,
