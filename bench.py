@@ -52,6 +52,7 @@ HEADLINE = [
     "roll_lm2_w20",        # k-regressor rolling XtX/Xty family
     "roll_cov_matrix_w10", # cube-output family
     "tier_1m_stats",
+    "tier_1m_from_chunks",  # cold tier: RSG2 compress -> decode -> rollup
     "tier_1h_cascade",
     "gapfill_locf_1h",
     "dedup_exact",

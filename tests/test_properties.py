@@ -168,3 +168,38 @@ def test_lm_matches_oracle(x, width, min_obs, kind, intercept, seed):
         else:
             wv = want[name]
         assert _close(g, wv, rtol=1e-6), (name, width, min_obs, kind)
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '100')), deadline=None)
+@given(
+    deltas=arrays(np.int64, st.integers(0, 400),
+                  elements=st.integers(0, 10**10)),
+    data=st.data(),
+)
+def test_gorilla_v2_roundtrip_property(deltas, data):
+    """RSG2 (vectorized) round-trips ANY (monotone-ts, float64) chunk
+    bit-exactly and agrees with the scalar RSG1 oracle — including NaN,
+    +-inf, -0.0, denormals, and every DoD bucket."""
+    from roll_spark.compression import (
+        decode_chunk, decode_chunk_v2, encode_chunk, encode_chunk_v2,
+    )
+
+    n = len(deltas)
+    ts = np.cumsum(deltas)
+    specials = st.sampled_from(
+        [np.nan, np.inf, -np.inf, -0.0, 0.0, 2.0**-1074, -2.0**1023]
+    )
+    vals = np.asarray(
+        data.draw(arrays(np.float64, n,
+                         elements=st.one_of(st.floats(allow_nan=True,
+                                                      allow_infinity=True,
+                                                      width=64),
+                                            specials))),
+        dtype=np.float64,
+    )
+    t1, v1 = decode_chunk(encode_chunk(ts, vals))
+    t2, v2 = decode_chunk_v2(encode_chunk_v2(ts, vals))
+    bits = vals.view(np.uint64) if n else np.array([], np.uint64)
+    assert np.array_equal(ts, t1) and np.array_equal(ts, t2)
+    assert np.array_equal(bits, v1.view(np.uint64))
+    assert np.array_equal(bits, v2.view(np.uint64))
