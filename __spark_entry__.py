@@ -267,14 +267,21 @@ def q_tier_1d_cascade(spark, sf_dir):
 
 def q_tier_1m_from_chunks(spark, sf_dir):
     """Cold-tier path: raw -> Gorilla chunk blobs (delta-of-delta ts +
-    XOR values, one blob per series-day) -> decode -> 1m rollup. The
-    oracle recomputes 1m from raw directly, so the driver hash proves
-    the compression round-trip is EXACT (bit-for-bit doubles,
-    microsecond timestamps) through the whole tier pipeline."""
+    XOR values) -> decode -> 1m rollup. The oracle recomputes 1m from
+    raw directly, so the driver hash proves the compression round-trip
+    is EXACT (bit-for-bit doubles, microsecond timestamps) through the
+    whole tier pipeline.
+
+    Chunk sizing: the bucket must target ~10^3-10^6 points per chunk
+    (the Gorilla paper uses 2h blocks for dense telemetry). This
+    fixture is SPARSE (~2.5 events per user-day), so day-buckets would
+    make 40k near-empty chunks whose per-group overhead dominates —
+    month-buckets put ~70 points in each. The rollup result is
+    bucket-invariant (decode restores the identical rows)."""
     from roll_spark.plans.chunks import compress_series, decompress_series
 
     ev = _events(spark, sf_dir)
-    chunks = compress_series(ev, "value", "ts", "user_id", bucket="day")
+    chunks = compress_series(ev, "value", "ts", "user_id", bucket="month")
     restored = decompress_series(chunks, "user_id")
     stats = T.finalize(T.rollup_raw(restored, "value", "ts", "user_id", "1m"))
     return stats.select(

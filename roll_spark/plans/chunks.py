@@ -1,10 +1,17 @@
 """Compressed chunk store: series -> Gorilla blobs and back.
 
-Each (series, day-bucket) group becomes ONE row
+Each (series, time-bucket) group becomes ONE row
 ``(series, chunk_start_ts, n, blob binary)`` — the storage layout for
 cold tiers. Encoding runs per group inside applyInPandas (one Arrow
 batch per chunk); a scan of the chunk table + decode restores the raw
 rows exactly (bit-for-bit doubles, microsecond timestamps).
+
+Chunk sizing matters more than codec speed: pick ``bucket`` so chunks
+land at ~10^3-10^6 points (the Gorilla paper's 2h blocks assume dense
+telemetry). Sparse series under a fine bucket produce millions of
+near-empty chunks whose per-group scheduling overhead dwarfs the
+encode; the rollup results are bucket-invariant, so the knob is purely
+physical.
 """
 
 from __future__ import annotations
