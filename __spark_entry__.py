@@ -811,6 +811,67 @@ def q_doc_lang_trigram(spark, sf_dir):
     )
 
 
+def _media_fixture():
+    """Deterministic multimodal fixture shared by the Spark query and
+    its oracle: seeded PPM/PGM images and 16-bit-PCM WAVs, plus the
+    expected feature stats computed DIRECTLY from the source arrays
+    (numpy, independent of the decoders under test)."""
+    import numpy as np
+
+    from roll_spark.datapipe.multimodal import (
+        _stats_vector,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7042)
+    rows = []
+    feats = []
+    mid = 0
+    for i in range(8):
+        ch = 3 if i % 2 == 0 else 1
+        dt = np.uint8 if i % 3 else np.uint16
+        hi = 256 if dt is np.uint8 else 65536
+        img = rng.integers(0, hi, (6 + i, 4 + (i % 3), ch)).astype(dt)
+        rows.append((mid, "image",
+                     {"width": img.shape[1], "height": img.shape[0],
+                      "sample_rate": None}, encode_ppm(img)))
+        feats.append((mid, "image", _stats_vector(img.astype(np.float64).ravel())))
+        mid += 1
+    for i in range(8):
+        n = 50 + 10 * i
+        sig = np.round(rng.normal(size=n) * 0.2, 4).clip(-0.9, 0.9)
+        payload = encode_wav(sig, 16000)
+        # expected features over the QUANTIZED samples (16-bit PCM is
+        # lossy; the source-side oracle must apply the same quantizer)
+        q = np.clip(np.rint(sig * 32768.0), -32768, 32767) / 32768.0
+        rows.append((mid, "audio",
+                     {"width": None, "height": None, "sample_rate": 16000},
+                     payload))
+        feats.append((mid, "audio", _stats_vector(q.reshape(-1, 1).ravel())))
+        mid += 1
+    return rows, feats
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal decode driver gate: binary PPM/PGM + WAV payloads ->
+    mapInPandas real decoders -> per-media feature stats. The oracle is
+    a VALUES table of the stats computed from the seeded SOURCE arrays
+    (pre-encoding), so the hash proves encode -> binary column -> Arrow
+    batch -> decode -> features round-trips exactly. (sf_dir unused —
+    the driver tables carry no media; the fixture is self-contained
+    and deterministic.)"""
+    from roll_spark.datapipe.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows, _ = _media_fixture()
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = extract_features(media, decoder="real")
+    return out.select(
+        "media_id", "kind",
+        *[_r6(F.col("features")[i]).alias(f"f{i}") for i in range(8)],
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from roll_spark.datapipe.dedup import ngram_jaccard_pairs
 
@@ -977,12 +1038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_lang_trigram": q_doc_lang_trigram,
+        "media_features": q_media_features,
         # -- operator representatives ----------------------------------
         "roll_sum_w20": q_roll_sum_w20,
         "roll_var_w10": q_roll_var_w10,
         "roll_median_w5": q_roll_median_w5,
         "roll_quantile_p25_w10": q_roll_quantile_p25_w10,
-        "roll_idxmin_w10": q_roll_idxmin_w10,
         "roll_idxmax_w10": q_roll_idxmax_w10,
         "roll_scale_w10": q_roll_scale_w10,
         "roll_cov_w10": q_roll_cov_w10,
@@ -1021,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         # -- tail: twice-green thin variants (crosscheck-verified) -----
         "tier_1d_cascade": q_tier_1d_cascade,  # thin extension of in-window 1h
+        "roll_idxmin_w10": q_roll_idxmin_w10,  # symmetric twin of idxmax
         "roll_min_w10": q_roll_min_w10,
         "roll_max_w10": q_roll_max_w10,
         "roll_sd_w10": q_roll_sd_w10,
@@ -1046,6 +1108,20 @@ _W10 = W.format(pre=9)
 _W20 = W.format(pre=19)
 _W5 = W.format(pre=4)
 _W4 = W.format(pre=3)
+
+
+def _media_features_sql() -> str:
+    """Literal VALUES oracle for q_media_features (stats from the
+    seeded source arrays, rounded identically in SQL)."""
+    _, feats = _media_fixture()
+    rows = ",\n              ".join(
+        "(" + ", ".join([str(mid), f"'{kind}'"] + [repr(float(v)) for v in fv]) + ")"
+        for mid, kind, fv in feats
+    )
+    cols = ", ".join(f"ROUND(1e-7 + c{i + 2}, 6) AS f{i}" for i in range(8))
+    return f"""
+        SELECT c0 AS media_id, c1 AS kind, {cols}
+        FROM (VALUES {rows}) t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9)"""
 
 
 def _lang_trigram_sql() -> str:
@@ -1264,6 +1340,7 @@ def _datapipe_oracles() -> dict[str, str]:
                     (1.0 - digit_ratio), 6) AS quality
             FROM g""",
         "doc_lang_trigram": _lang_trigram_sql(),
+        "media_features": _media_features_sql(),
         "doc_lang_id": """
             WITH f AS (
               SELECT doc_id, ' ' || text || ' ' AS padded,
