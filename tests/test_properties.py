@@ -44,14 +44,32 @@ def _weights(rng_seed: int, width: int, kind: str) -> np.ndarray | None:
     return rng.uniform(0.1, 3.0, size=width)
 
 
-def _close(a: np.ndarray, b: np.ndarray, rtol: float = 1e-9) -> bool:
+def _close(
+    a: np.ndarray, b: np.ndarray, rtol: float = 1e-9, atol: float = 1e-9
+) -> bool:
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     both_nan = np.isnan(a) & np.isnan(b)
     # default 1e-9 relative covers float64 reassociation between two
     # correct implementations of the cancellation-free two-pass kernels
-    ok = np.isclose(a, b, rtol=rtol, atol=1e-9, equal_nan=False)
+    ok = np.isclose(a, b, rtol=rtol, atol=atol, equal_nan=False)
     return bool(np.all(both_nan | ok))
+
+
+def _comoment_atol(x: np.ndarray, y: np.ndarray, width: int) -> float:
+    """Float64 error-model bound for a mixed-sign co-moment sum.
+
+    Any summation of n terms carries |err| <= c*n*eps*sum|terms|; for a
+    (weighted, mean-centered) co-moment the term magnitude is bounded by
+    max|x|*max|y| after the sum_w division, and the mean's own
+    reassociation perturbs each centered term by ~n*eps*max|x| more.
+    Two CORRECT implementations therefore legitimately differ by up to
+    ~c*n*eps*max|x|*max|y| ABSOLUTE, with no relative bound at all when
+    the co-moment itself cancels toward 0 (unbounded condition number).
+    c=64 is slack for the two summation orders under test."""
+    mx = float(np.nanmax(np.abs(x), initial=0.0))
+    my = float(np.nanmax(np.abs(y), initial=0.0))
+    return max(1e-9, 64.0 * width * np.finfo(np.float64).eps * mx * my)
 
 
 @settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '150')), deadline=None)
@@ -94,25 +112,33 @@ def test_cov_cor_match_oracle(x, width, min_obs, kind, seed):
     w = _weights(seed, width, kind)
     wl = None if w is None else list(w)
     # co-moments have mixed-sign products: the sum's condition number
-    # kappa = sum|w dx dy| / |sum w dx dy| is unbounded (e.g. +-1e6
-    # values with a ~1e3 co-moment -> kappa ~ 1e7), so ANY two correct
-    # float64 implementations differ by ~kappa*eps; 5e-8 covers kappa
-    # up to ~2e8. Variance is exempt: its two-pass sum has non-negative
-    # terms, hence no cancellation (tested at 1e-9 above).
+    # kappa = sum|w dx dy| / |sum w dx dy| is unbounded (hypothesis finds
+    # kappa ~ 1e10 fixtures: +-1e6 values with a ~1e1 co-moment), so no
+    # fixed rtol is sound — the error model gives an ABSOLUTE bound
+    # scaled by the data magnitude instead (_comoment_atol). Variance is
+    # exempt: its two-pass sum has non-negative terms, hence no
+    # cancellation (tested at 1e-9 above).
+    atol = _comoment_atol(x, y, width)
     assert _close(
         K.conv_cov(x, y, width, weights=w, min_obs=min_obs),
         oracle.roll_cov(x, y, width, weights=wl, min_obs=min_obs),
         rtol=5e-8,
+        atol=atol,
     )
+    # cor is scale-free (|cor| <= 1): 1e-6 absolute is a 6-digit check,
+    # and the cov-cancellation error divided by sd*sd can exceed any
+    # fixed relative bound on adversarially clustered data.
     assert _close(
         K.conv_cor(x, y, width, weights=w, min_obs=min_obs),
         oracle.roll_cor(x, y, width, weights=wl, min_obs=min_obs),
         rtol=5e-8,
+        atol=1e-6,
     )
     assert _close(
         K.conv_crossprod(x, y, width, weights=w, min_obs=min_obs),
         oracle.roll_crossprod(x, y, width, weights=wl, min_obs=min_obs),
         rtol=5e-8,
+        atol=atol,
     )
 
 
