@@ -727,6 +727,44 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def _asof_marks(spark, sf_dir):
+    """Per-(user, ts)-unique 'error' events — the as-of right side
+    (dedup mirrors the determinism contract in plans/asof.py)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark_value"))
+    )
+
+
+def q_asof_join_events(spark, sf_dir):
+    """Backward-inclusive as-of join: every event picks up the most
+    recent 'error' event of its user (DuckDB ASOF JOIN oracle)."""
+    from roll_spark.plans.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    j = asof_join(
+        ev, _asof_marks(spark, sf_dir), on="ts", by="user_id",
+        right_cols=["mark_value"], direction="backward", matched_on="mark_ts",
+    )
+    return j.select("event_id", "user_id", "ts", "value", "mark_ts", "mark_value")
+
+
+def q_asof_join_fwd_tol(spark, sf_dir):
+    """Forward as-of with a 30-minute tolerance: the NEXT error within
+    half an hour, else NULL (oracle: forward ASOF + interval CASE)."""
+    from roll_spark.plans.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    j = asof_join(
+        ev, _asof_marks(spark, sf_dir), on="ts", by="user_id",
+        right_cols=["mark_value"], direction="forward",
+        tolerance=1800.0, matched_on="mark_ts",
+    )
+    return j.select("event_id", "user_id", "ts", "mark_ts", "mark_value")
+
+
 def q_roll_cov_matrix_w10(spark, sf_dir):
     """k=2 rolling covariance MATRIX per row (the reference's cube output
     for matrix input); oracle checks every distinct entry via masked
@@ -1048,10 +1086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_scale_w10": q_roll_scale_w10,
         "roll_cov_w10": q_roll_cov_w10,
         "roll_cor_w10": q_roll_cor_w10,
-        "roll_crossprod_w10": q_roll_crossprod_w10,
         "roll_prod_w4": q_roll_prod_w4,
-        "roll_any_w10": q_roll_any_w10,
         "expanding_mean": q_expanding_mean,
+        "asof_join_events": q_asof_join_events,
+        "asof_join_fwd_tol": q_asof_join_fwd_tol,
         "roll_lm_w20": q_roll_lm_w20,
         "roll_mean_exp_w10": q_roll_mean_exp_w10,
         "roll_lm2_w20": q_roll_lm2_w20,
@@ -1082,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         # -- tail: twice-green thin variants (crosscheck-verified) -----
         "tier_1d_cascade": q_tier_1d_cascade,  # thin extension of in-window 1h
+        "roll_crossprod_w10": q_roll_crossprod_w10,  # kernel shared with cov
+        "roll_any_w10": q_roll_any_w10,  # Kleene twin of roll_all
         "roll_idxmin_w10": q_roll_idxmin_w10,  # symmetric twin of idxmax
         "roll_min_w10": q_roll_min_w10,
         "roll_max_w10": q_roll_max_w10,
@@ -1929,6 +1969,31 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
                     THEN avg(value) OVER ({_W10}) END, 6) AS cmean10
             FROM events""",
+        "asof_join_events": """
+            WITH marks AS (
+              SELECT user_id, ts, max(value) AS mark_value
+              FROM events WHERE event_type = 'error'
+              GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id, e.ts, e.value,
+                   m.ts AS mark_ts, m.mark_value AS mark_value
+            FROM events e
+            ASOF LEFT JOIN marks m
+              ON e.user_id = m.user_id AND e.ts >= m.ts""",
+        "asof_join_fwd_tol": """
+            WITH marks AS (
+              SELECT user_id, ts, max(value) AS mark_value
+              FROM events WHERE event_type = 'error'
+              GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+              CASE WHEN m.ts - e.ts <= INTERVAL 30 MINUTE THEN m.ts END
+                AS mark_ts,
+              CASE WHEN m.ts - e.ts <= INTERVAL 30 MINUTE THEN m.mark_value END
+                AS mark_value
+            FROM events e
+            ASOF LEFT JOIN marks m
+              ON e.user_id = m.user_id AND e.ts <= m.ts""",
         "gapfill_linear_1h": """
             WITH stats AS (
               SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS mean_x

@@ -55,6 +55,7 @@ HEADLINE = [
     "tier_1m_from_chunks",  # cold tier: RSG2 compress -> decode -> rollup
     "tier_1h_cascade",
     "gapfill_locf_1h",
+    "asof_join_events",     # union+window as-of join family
     "dedup_exact",
     "doc_lang_trigram",     # text-analysis family (map-only JVM strings)
     "ngram_jaccard_pairs",

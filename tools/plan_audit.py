@@ -54,6 +54,14 @@ EXPECT = {
     # trigram lang-ID must stay a map-only scan: zero shuffles, zero
     # sorts, no join (the profiles are literals, not a lookup table)
     "doc_lang_trigram": dict(max_exchange=0, max_sort=0),
+    # as-of join: marks groupBy + ONE union-window exchange, ONE sort,
+    # ONE Window — never a range/nested-loop join over the event stream
+    "asof_join_events": dict(
+        max_exchange=2, max_sort=1, max_window=1, forbid_cartesian=True
+    ),
+    "asof_join_fwd_tol": dict(
+        max_exchange=2, max_sort=1, max_window=1, forbid_cartesian=True
+    ),
 }
 
 
