@@ -727,6 +727,48 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def q_roll_mean_range_1h(spark, sf_dir):
+    """Trailing-1h TIME-windowed mean+count (RANGE frame, not row-count;
+    oracle: DuckDB RANGE BETWEEN INTERVAL 1 HOUR PRECEDING)."""
+    from roll_spark.operators.time_windows import roll_time
+
+    df = roll_time(
+        _events(spark, sf_dir).select("user_id", "ts", "value"),
+        "value", "user_id", "ts", 3600.0, aggs=["mean", "count"], min_obs=5,
+    )
+    return df.select(
+        "user_id", "ts",
+        _r6("t_mean").alias("tmean_1h"),
+        F.col("t_count").alias("tcount_1h"),
+    )
+
+
+def q_sessionize_1h(spark, sf_dir):
+    """Gap-based session assignment (gap > 1h ⇒ new session); oracle
+    replays the identical lag + prefix-sum in DuckDB."""
+    from roll_spark.plans.sessions import sessionize
+
+    return sessionize(
+        _events(spark, sf_dir).select("event_id", "user_id", "ts"),
+        "user_id", "ts", 3600.0,
+    ).select("event_id", "user_id", "ts", "session_id")
+
+
+def q_session_stats_1h(spark, sf_dir):
+    """Per-session aggregates over the 1h-gap sessionization."""
+    from roll_spark.plans.sessions import session_stats
+
+    df = session_stats(
+        _events(spark, sf_dir).select("user_id", "ts", "value"),
+        "user_id", "ts", 3600.0, value="value",
+    )
+    return df.select(
+        "user_id", "session_id", "session_start", "session_end", "n_events",
+        _r6("mean_value").alias("mean_value"),
+        _r6("duration_s").alias("duration_s"),
+    )
+
+
 def _asof_marks(spark, sf_dir):
     """Per-(user, ts)-unique 'error' events — the as-of right side
     (dedup mirrors the determinism contract in plans/asof.py)."""
@@ -1081,11 +1123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_sum_w20": q_roll_sum_w20,
         "roll_var_w10": q_roll_var_w10,
         "roll_median_w5": q_roll_median_w5,
-        "roll_quantile_p25_w10": q_roll_quantile_p25_w10,
         "roll_idxmax_w10": q_roll_idxmax_w10,
         "roll_scale_w10": q_roll_scale_w10,
         "roll_cov_w10": q_roll_cov_w10,
-        "roll_cor_w10": q_roll_cor_w10,
+        "roll_mean_range_1h": q_roll_mean_range_1h,
+        "sessionize_1h": q_sessionize_1h,
+        "session_stats_1h": q_session_stats_1h,
         "roll_prod_w4": q_roll_prod_w4,
         "expanding_mean": q_expanding_mean,
         "asof_join_events": q_asof_join_events,
@@ -1105,7 +1148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1m_p50": q_tier_1m_p50,
         "emb_neardup_lsh_scale": q_emb_neardup_lsh_scale,
         "gapfill_linear_1h": q_gapfill_linear_1h,
-        "latency_roll_mean_w10": q_latency_roll_mean_w10,
         "tier_1m_stats": q_tier_1m_stats,
         "tier_1h_cascade": q_tier_1h_cascade,
         "tier_1h_checkpointed": q_tier_1h_checkpointed,
@@ -1122,6 +1164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1d_cascade": q_tier_1d_cascade,  # thin extension of in-window 1h
         "roll_crossprod_w10": q_roll_crossprod_w10,  # kernel shared with cov
         "roll_any_w10": q_roll_any_w10,  # Kleene twin of roll_all
+        "roll_cor_w10": q_roll_cor_w10,  # composition of in-window cov
+        "roll_quantile_p25_w10": q_roll_quantile_p25_w10,  # sibling median_w5
+        "latency_roll_mean_w10": q_latency_roll_mean_w10,  # derived-series mean
         "roll_idxmin_w10": q_roll_idxmin_w10,  # symmetric twin of idxmax
         "roll_min_w10": q_roll_min_w10,
         "roll_max_w10": q_roll_max_w10,
@@ -1969,6 +2014,43 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
                     THEN avg(value) OVER ({_W10}) END, 6) AS cmean10
             FROM events""",
+        "roll_mean_range_1h": """
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER w >= 5
+                    THEN avg(value) OVER w END, 6) AS tmean_1h,
+              count(value) OVER w AS tcount_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+        "sessionize_1h": """
+            SELECT event_id, user_id, ts,
+              sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)""",
+        "session_stats_1h": """
+            WITH s AS (
+              SELECT user_id, ts, value,
+                sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+              FROM (SELECT user_id, ts, value,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                    FROM events)
+            )
+            SELECT user_id, session_id,
+              min(ts) AS session_start, max(ts) AS session_end,
+              count(*) AS n_events,
+              ROUND(1e-7 + avg(value), 6) AS mean_value,
+              ROUND(1e-7 + date_diff('microseconds', min(ts), max(ts))
+                    / 1000000.0, 6) AS duration_s
+            FROM s GROUP BY user_id, session_id""",
         "asof_join_events": """
             WITH marks AS (
               SELECT user_id, ts, max(value) AS mark_value

@@ -56,6 +56,8 @@ HEADLINE = [
     "tier_1h_cascade",
     "gapfill_locf_1h",
     "asof_join_events",     # union+window as-of join family
+    "roll_mean_range_1h",   # time-range (RANGE frame) window family
+    "session_stats_1h",     # sessionization + per-session agg
     "dedup_exact",
     "doc_lang_trigram",     # text-analysis family (map-only JVM strings)
     "ngram_jaccard_pairs",

@@ -62,6 +62,13 @@ EXPECT = {
     "asof_join_fwd_tol": dict(
         max_exchange=2, max_sort=1, max_window=1, forbid_cartesian=True
     ),
+    # time-range window: same shape as the row-count ops (RANGE frame)
+    "roll_mean_range_1h": dict(max_exchange=1, max_sort=1, max_window=1),
+    # sessionize: lag + prefix-sum share ONE exchange + ONE sort
+    # (two frame kinds -> up to two WindowExec nodes, zero extra shuffles)
+    "sessionize_1h": dict(max_exchange=1, max_sort=1, max_window=2),
+    # + one partial-agg exchange for the per-session groupBy
+    "session_stats_1h": dict(max_exchange=2, max_sort=1, max_window=2),
 }
 
 
