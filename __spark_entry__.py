@@ -30,6 +30,7 @@ from roll_spark import (
     roll_median,
     roll_min,
     roll_quantile,
+    roll_quantiles,
     roll_scale,
     roll_sd,
     roll_sum,
@@ -98,6 +99,25 @@ def q_roll_sd_w10(spark, sf_dir):
 def q_roll_median_w5(spark, sf_dir):
     df = roll_median(_events(spark, sf_dir), "value", "user_id", "ts", 5, min_obs=1, out="s")
     return _sel(df, "s", "med5")
+
+
+def q_roll_quantiles_multi_w5(spark, sf_dir):
+    """Five quantiles (incl. min/median/max) from ONE sorted window —
+    the fused multi-p path (roll_quantiles).  The p=0.5 column is
+    bit-identical to q_roll_median_w5's output, so this query
+    supersedes the old in-window median gate while also exercising the
+    p=0/p=1 array-min/max arms and the shared-sort fusion."""
+    df = roll_quantiles(
+        _events(spark, sf_dir), "value", "user_id", "ts", 5,
+        [0.0, 0.25, 0.5, 0.75, 1.0], min_obs=1,
+        outs=["q00", "q25", "med5", "q75", "q100"],
+    )
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("q00")).alias("q00"), _r6(F.col("q25")).alias("q25"),
+        _r6(F.col("med5")).alias("med5"), _r6(F.col("q75")).alias("q75"),
+        _r6(F.col("q100")).alias("q100"),
+    )
 
 
 def q_roll_quantile_p25_w10(spark, sf_dir):
@@ -1122,7 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- operator representatives ----------------------------------
         "roll_sum_w20": q_roll_sum_w20,
         "roll_var_w10": q_roll_var_w10,
-        "roll_median_w5": q_roll_median_w5,
+        "roll_quantiles_multi_w5": q_roll_quantiles_multi_w5,
         "roll_idxmax_w10": q_roll_idxmax_w10,
         "roll_scale_w10": q_roll_scale_w10,
         "roll_cov_w10": q_roll_cov_w10,
@@ -1166,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_any_w10": q_roll_any_w10,  # Kleene twin of roll_all
         "roll_cor_w10": q_roll_cor_w10,  # composition of in-window cov
         "roll_quantile_p25_w10": q_roll_quantile_p25_w10,  # sibling median_w5
+        "roll_median_w5": q_roll_median_w5,  # p=0.5 col of in-window quantiles_multi
         "latency_roll_mean_w10": q_latency_roll_mean_w10,  # derived-series mean
         "roll_idxmin_w10": q_roll_idxmin_w10,  # symmetric twin of idxmax
         "roll_min_w10": q_roll_min_w10,
@@ -1584,6 +1605,36 @@ def oracle_sql() -> dict[str, str]:
                     THEN stddev_samp(value) OVER ({_W10}) END, 6) AS sd10
             FROM events""",
         "roll_median_w5": _HF2.format(w=_W5, q=0.5, alias="med5"),
+        # fused multi-p: ONE sorted list, per-p HF2 selection + min/max arms
+        "roll_quantiles_multi_w5": f"""
+            WITH win AS (
+              SELECT user_id, ts, list(value) OVER ({_W5}) AS l FROM events
+            ), s AS (
+              SELECT user_id, ts, list_sort(l) AS sl, len(l) AS n,
+                GREATEST(1, CAST(ceil(n * 0.75 - 1e-9) AS BIGINT)) AS c25,
+                GREATEST(1, CAST(ceil(n * 0.5  - 1e-9) AS BIGINT)) AS c50,
+                GREATEST(1, CAST(ceil(n * 0.25 - 1e-9) AS BIGINT)) AS c75
+              FROM win
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + sl[1], 6) AS q00,
+              ROUND(1e-7 + CASE
+                WHEN abs(c25::DOUBLE / n - 0.75) <= 1.4901161193847656e-08
+                     AND n - c25 >= 1
+                  THEN (sl[n - c25 + 1] + sl[n - c25]) / 2.0
+                ELSE sl[n - c25 + 1] END, 6) AS q25,
+              ROUND(1e-7 + CASE
+                WHEN abs(c50::DOUBLE / n - 0.5) <= 1.4901161193847656e-08
+                     AND n - c50 >= 1
+                  THEN (sl[n - c50 + 1] + sl[n - c50]) / 2.0
+                ELSE sl[n - c50 + 1] END, 6) AS med5,
+              ROUND(1e-7 + CASE
+                WHEN abs(c75::DOUBLE / n - 0.25) <= 1.4901161193847656e-08
+                     AND n - c75 >= 1
+                  THEN (sl[n - c75 + 1] + sl[n - c75]) / 2.0
+                ELSE sl[n - c75 + 1] END, 6) AS q75,
+              ROUND(1e-7 + sl[n], 6) AS q100
+            FROM s""",
         "roll_median_w400": _HF2.format(w=W.format(pre=399), q=0.5, alias="med400"),
         "roll_quantile_p25_w10": _HF2.format(w=_W10, q=0.75, alias="q25"),
         "roll_idxmin_w10": """

@@ -42,6 +42,7 @@ from roll_spark.operators.window_ops import (
     roll_min,
     roll_prod,
     roll_quantile,
+    roll_quantiles,
     roll_scale,
     roll_sd,
     roll_sum,
@@ -57,6 +58,7 @@ __all__ = [
     "roll_max",
     "roll_median",
     "roll_quantile",
+    "roll_quantiles",
     "roll_var",
     "roll_sd",
     "roll_scale",

@@ -327,17 +327,24 @@ def roll_quantile(
     v = F.col(value)
     arr = F.array_sort(F.collect_list(v).over(w))
     n = F.size(arr)
-    # The selection index is the smallest integer c with
-    # float64(c / n) >= 1-p: the NORMALIZED division predicate of the
-    # reference scan (roll_vec.h:2048). ceil(n*(1-p)) is only a
-    # 1-ulp-accurate guess (product and quotient round differently at
-    # boundary (p, n) combos), so it needs correction by evaluating
-    # the predicate at c-1/c. n only takes values 0..width on this
-    # path, so the whole correction (and the exact-boundary averaging
-    # test) is precomputed HERE in Python float64 — bit-identical
-    # arithmetic — and looked up per row from array literals instead
-    # of re-deriving it with per-row division chains (the r2 version
-    # of that chain cost ~0.6 s on the sf0.1 bench for w=5).
+    q = _hf2_from_sorted(arr, n, width, p)
+    return df.withColumn(out, gate(spec, v, q, n))
+
+
+def _hf2_tables(width: int, p: float) -> tuple[list[int], list[int], list[bool]]:
+    """Precomputed HF2 selection tables indexed by window fill n=0..width.
+
+    The selection index is the smallest integer c with
+    float64(c / n) >= 1-p: the NORMALIZED division predicate of the
+    reference scan (roll_vec.h:2048). ceil(n*(1-p)) is only a
+    1-ulp-accurate guess (product and quotient round differently at
+    boundary (p, n) combos), so it needs correction by evaluating
+    the predicate at c-1/c. n only takes values 0..width on the native
+    path, so the whole correction (and the exact-boundary averaging
+    test) is precomputed HERE in Python float64 — bit-identical
+    arithmetic — and looked up per row from array literals instead
+    of re-deriving it with per-row division chains (the r2 version
+    of that chain cost ~0.6 s on the sf0.1 bench for w=5)."""
     pp = 1.0 - p
     hi_tab, lo_tab, ex_tab = [1], [1], [False]  # n=0 slot (gated off)
     for n_ in range(1, width + 1):
@@ -349,11 +356,79 @@ def roll_quantile(
         hi_tab.append(n_ - c_ + 1)
         lo_tab.append(max(1, n_ - c_))
         ex_tab.append(abs(c_ / n_ - pp) <= SQRT_EPS)
+    return hi_tab, lo_tab, ex_tab
+
+
+def _hf2_from_sorted(arr: Column, n: Column, width: int, p: float) -> Column:
+    """HF2 selection from a per-row sorted window array (table lookup)."""
+    hi_tab, lo_tab, ex_tab = _hf2_tables(width, p)
     hi = F.element_at(arr, F.element_at(F.lit(hi_tab), n + 1))
     lo = F.element_at(arr, F.element_at(F.lit(lo_tab), n + 1))
     exact = F.element_at(F.lit(ex_tab), n + 1)
-    q = F.when(exact, (hi + lo) / 2).otherwise(hi)
-    return df.withColumn(out, gate(spec, v, q, n))
+    return F.when(exact, (hi + lo) / 2).otherwise(hi)
+
+
+@complete_obs_maskable
+def roll_quantiles(
+    df: DataFrame,
+    value: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    ps: Sequence[float],
+    *,
+    min_obs: int | None = None,
+    complete_obs: bool = False,
+    na_restore: bool = False,
+    weights: Sequence[float] | None = None,
+    outs: Sequence[str] | None = None,
+) -> DataFrame:
+    """All quantiles of ``ps`` from ONE sorted window per row.
+
+    k calls to :func:`roll_quantile` sort (and on the Arrow path,
+    shuffle) the same window k times; here the sorted array is
+    materialized once inside a single WindowExec and every p is a
+    table-lookup projection off it — the per-row cost is
+    O(w log w + k) instead of O(k · w log w).  Results are
+    column-for-column identical to the one-p operator
+    (tests/test_quantiles_multi.py asserts it).
+
+    Non-equal weights or width > QUANTILE_NATIVE_MAX_WIDTH fall back to
+    sequential :func:`roll_quantile` calls (the Arrow kernel is blocked
+    per p; fusing it is a further optimization, not a semantics change).
+    p=0 / p=1 become array min/max of the same sorted window.
+    """
+    ps = list(ps)
+    outs = list(outs) if outs is not None else [
+        f"q_{str(p_).replace('.', '_')}" for p_ in ps
+    ]
+    if len(outs) != len(ps):
+        raise ValueError("outs must match ps in length")
+    spec = _spec(width, min_obs, complete_obs, na_restore, weights)
+    if not spec.is_equal_weight or width > QUANTILE_NATIVE_MAX_WIDTH:
+        out_df = df
+        for p_, o_ in zip(ps, outs):
+            out_df = roll_quantile(
+                out_df, value, by, order, width, p_, min_obs=min_obs,
+                na_restore=na_restore, weights=weights, out=o_,
+            )
+        return out_df
+    w = rolling_window(by, order, width)
+    v = F.col(value)
+    arr_col = "__rollq_sorted"
+    tmp = df.withColumn(arr_col, F.array_sort(F.collect_list(v).over(w)))
+    arr = F.col(arr_col)
+    n = F.size(arr)
+    cols = {}
+    for p_, o_ in zip(ps, outs):
+        if p_ == 0.0:
+            q = F.array_min(arr)
+        elif p_ == 1.0:
+            q = F.array_max(arr)
+        else:
+            q = _hf2_from_sorted(arr, n, width, p_)
+        cols[o_] = gate(spec, v, q, n)
+    return tmp.withColumns(cols).drop(arr_col)
 
 
 @complete_obs_maskable

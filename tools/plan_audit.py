@@ -25,6 +25,8 @@ EXPECT = {
     "roll_mean_w10": dict(max_exchange=1, max_sort=1),
     "roll_var_w10": dict(max_exchange=1, max_sort=1),
     "roll_median_w5": dict(max_exchange=1, max_sort=1),
+    # fused multi-p quantiles: 5 outputs, still ONE window/sort/exchange
+    "roll_quantiles_multi_w5": dict(max_exchange=1, max_sort=1, max_window=1),
     "roll_idxmax_w10": dict(max_exchange=1, max_sort=1),
     "roll_cov_w10": dict(max_exchange=1, max_sort=1),
     "roll_lm_w20": dict(max_exchange=1, max_sort=1, max_window=2),
