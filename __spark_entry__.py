@@ -876,6 +876,17 @@ def q_doc_bpe_tokens(spark, sf_dir):
                       _r6("bpe_per_ws").alias("bpe_per_ws"))
 
 
+def q_doc_fingerprint_winnow(spark, sf_dir):
+    """Winnowing (rolling k-gram hash + window-min) document
+    fingerprints — map-only JVM higher-order functions, zero shuffles.
+    One (doc_id, fp) row per distinct fingerprint; the oracle replays
+    the identical unrolled Horner/int64 arithmetic in DuckDB."""
+    from roll_spark.datapipe.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, "text", "doc_id")
+
+
 def q_doc_quality(spark, sf_dir):
     from roll_spark.datapipe.text import quality_score
 
@@ -1138,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_lang_trigram": q_doc_lang_trigram,
+        "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "media_features": q_media_features,
         # -- operator representatives ----------------------------------
         "roll_sum_w20": q_roll_sum_w20,
@@ -1169,7 +1181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh_scale": q_emb_neardup_lsh_scale,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "tier_1m_stats": q_tier_1m_stats,
-        "tier_1h_cascade": q_tier_1h_cascade,
         "tier_1h_checkpointed": q_tier_1h_checkpointed,
         "tier_1m_from_chunks": q_tier_1m_from_chunks,
         "stream_tier_1m": q_stream_tier_1m,
@@ -1181,7 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         # -- tail: twice-green thin variants (crosscheck-verified) -----
-        "tier_1d_cascade": q_tier_1d_cascade,  # thin extension of in-window 1h
+        "tier_1h_cascade": q_tier_1h_cascade,  # subsumed by in-window checkpointed run
+        "tier_1d_cascade": q_tier_1d_cascade,  # thin extension of 1h cascade
         "roll_crossprod_w10": q_roll_crossprod_w10,  # kernel shared with cov
         "roll_any_w10": q_roll_any_w10,  # Kleene twin of roll_all
         "roll_cor_w10": q_roll_cor_w10,  # composition of in-window cov
@@ -1228,6 +1240,38 @@ def _media_features_sql() -> str:
     return f"""
         SELECT c0 AS media_id, c1 AS kind, {cols}
         FROM (VALUES {rows}) t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9)"""
+
+
+def _winnow_sql() -> str:
+    """Replay winnow_fingerprints in DuckDB: identical normalize,
+    identical unrolled Horner (mod after every step, BIGINT throughout),
+    identical window-min + short-doc fallbacks."""
+    from roll_spark.datapipe.text import WINNOW_K, WINNOW_WINDOW, _WINNOW_B, _WINNOW_M
+
+    k, w, b, m = WINNOW_K, WINNOW_WINDOW, _WINNOW_B, _WINNOW_M
+    h = "0"
+    for j in range(1, k + 1):
+        h = f"(({h} * {b} + codes[i+{j}]) % {m})"
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 list_transform(string_split(replace(lower(text), ' ', ''), ''),
+                                c -> CAST(ascii(c) AS BIGINT)) AS codes
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+            CASE WHEN len(codes) - {k - 1} >= 1 THEN
+              list_transform(range(0, len(codes) - {k - 1}), i -> {h})
+            ELSE [ list_reduce(codes, (a, c) -> (a * {b} + c) % {m}) ] END AS hashes
+          FROM norm
+        ), mw AS (
+          SELECT doc_id, CASE WHEN len(hashes) - {w - 1} >= 1 THEN
+              list_transform(range(0, len(hashes) - {w - 1}),
+                             i -> list_min(hashes[i+1 : i+{w}]))
+            ELSE [ list_min(hashes) ] END AS mins
+          FROM h
+        )
+        SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM mw"""
 
 
 def _lang_trigram_sql() -> str:
@@ -1446,6 +1490,7 @@ def _datapipe_oracles() -> dict[str, str]:
                     (1.0 - digit_ratio), 6) AS quality
             FROM g""",
         "doc_lang_trigram": _lang_trigram_sql(),
+        "doc_fingerprint_winnow": _winnow_sql(),
         "media_features": _media_features_sql(),
         "doc_lang_id": """
             WITH f AS (

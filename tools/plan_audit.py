@@ -56,6 +56,8 @@ EXPECT = {
     # trigram lang-ID must stay a map-only scan: zero shuffles, zero
     # sorts, no join (the profiles are literals, not a lookup table)
     "doc_lang_trigram": dict(max_exchange=0, max_sort=0),
+    # winnowing fingerprints: higher-order-function chain, map-only
+    "doc_fingerprint_winnow": dict(max_exchange=0, max_sort=0),
     # as-of join: marks groupBy + ONE union-window exchange, ONE sort,
     # ONE Window — never a range/nested-loop join over the event stream
     "asof_join_events": dict(
