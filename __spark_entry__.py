@@ -887,6 +887,20 @@ def q_doc_fingerprint_winnow(spark, sf_dir):
     return winnow_fingerprints(docs, "text", "doc_id")
 
 
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Contamination pairs: inverted-index self-join on winnow
+    fingerprints, hot-fp cap 50, containment-normalized overlap.
+    min_shared=4 & overlap>=0.2 is the discriminative operating point
+    on this corpus (208 pairs; min_shared alone admits thousands of
+    chance 8-gram collisions)."""
+    from roll_spark.datapipe.dedup import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = winnow_overlap_pairs(docs, "text", "doc_id", min_shared=4,
+                               min_overlap=0.2, max_fp_df=50)
+    return out.select("da", "db", "shared_fps", _r6("overlap").alias("overlap"))
+
+
 def q_doc_quality(spark, sf_dir):
     from roll_spark.datapipe.text import quality_score
 
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_lang_trigram": q_doc_lang_trigram,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "media_features": q_media_features,
         # -- operator representatives ----------------------------------
         "roll_sum_w20": q_roll_sum_w20,
@@ -1157,7 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_quantiles_multi_w5": q_roll_quantiles_multi_w5,
         "roll_idxmax_w10": q_roll_idxmax_w10,
         "roll_scale_w10": q_roll_scale_w10,
-        "roll_cov_w10": q_roll_cov_w10,
         "roll_mean_range_1h": q_roll_mean_range_1h,
         "sessionize_1h": q_sessionize_1h,
         "session_stats_1h": q_session_stats_1h,
@@ -1196,7 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1d_cascade": q_tier_1d_cascade,  # thin extension of 1h cascade
         "roll_crossprod_w10": q_roll_crossprod_w10,  # kernel shared with cov
         "roll_any_w10": q_roll_any_w10,  # Kleene twin of roll_all
-        "roll_cor_w10": q_roll_cor_w10,  # composition of in-window cov
+        "roll_cov_w10": q_roll_cov_w10,  # 2-col cov: covered by in-window cubes + stream_roll_cov
+        "roll_cor_w10": q_roll_cor_w10,  # composition of roll_cov
         "roll_quantile_p25_w10": q_roll_quantile_p25_w10,  # sibling median_w5
         "roll_median_w5": q_roll_median_w5,  # p=0.5 col of in-window quantiles_multi
         "latency_roll_mean_w10": q_latency_roll_mean_w10,  # derived-series mean
@@ -1272,6 +1287,35 @@ def _winnow_sql() -> str:
           FROM h
         )
         SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM mw"""
+
+
+def _winnow_overlap_sql(min_shared: int, min_overlap: float, max_fp_df: int) -> str:
+    """Replay winnow_overlap_pairs: the _winnow_sql fingerprints, the
+    hot-fp document-frequency cap, per-doc fp counts, fp self-join,
+    containment-normalized overlap."""
+    return f"""
+        WITH fps AS ({_winnow_sql()}),
+        hot AS (
+          SELECT fp FROM fps GROUP BY fp HAVING count(*) > {max_fp_df}
+        ),
+        kept AS (
+          SELECT f.doc_id, f.fp FROM fps f
+          WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fp = f.fp)
+        ),
+        sized AS (
+          SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS nfp FROM kept
+        ),
+        pairs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, a.nfp AS na, b.nfp AS nb,
+                 count(*) AS shared_fps
+          FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT da, db, shared_fps,
+               ROUND(1e-7 + shared_fps::DOUBLE / LEAST(na, nb), 6) AS overlap
+        FROM pairs
+        WHERE shared_fps >= {min_shared}
+          AND shared_fps::DOUBLE / LEAST(na, nb) >= {min_overlap}"""
 
 
 def _lang_trigram_sql() -> str:
@@ -1491,6 +1535,7 @@ def _datapipe_oracles() -> dict[str, str]:
             FROM g""",
         "doc_lang_trigram": _lang_trigram_sql(),
         "doc_fingerprint_winnow": _winnow_sql(),
+        "winnow_overlap_pairs": _winnow_overlap_sql(4, 0.2, 50),
         "media_features": _media_features_sql(),
         "doc_lang_id": """
             WITH f AS (

@@ -118,6 +118,71 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    *,
+    min_shared: int = 2,
+    min_overlap: float = 0.0,
+    max_fp_df: int | None = None,
+    k: int | None = None,
+    window: int | None = None,
+) -> DataFrame:
+    """Contamination / substring-overlap pairs via winnowing
+    fingerprints — the production decontamination shape (MOSS-style):
+    any shared substring of length >= k + window - 1 between two docs is
+    guaranteed to surface as a shared fingerprint, so thresholding on
+    shared fingerprints finds train/eval contamination that whole-doc
+    or shingle-set similarity misses (a paragraph copied into an
+    otherwise-unrelated document).
+
+    Inverted-index self-join on the fingerprint (same scale shape as
+    :func:`ngram_jaccard_pairs`): docs sharing no fingerprint never
+    meet; ``max_fp_df`` drops boilerplate fingerprints whose document
+    frequency exceeds the cap BEFORE the join (broadcast anti-join), so
+    the join row count stays linear in fingerprint volume at 100 TB.
+
+    ``overlap`` is containment-normalized — shared / min(|A|, |B|) —
+    so a short eval doc fully contained in a long train doc scores ~1.0
+    regardless of the length ratio (plain Jaccard would dilute it).
+    """
+    from pyspark.sql import Window
+
+    from roll_spark.datapipe.text import WINNOW_K, WINNOW_WINDOW, winnow_fingerprints
+
+    kw = dict(k=k or WINNOW_K, window=window or WINNOW_WINDOW)
+    base = (
+        winnow_fingerprints(df, text, id_col, **kw)
+        .withColumnRenamed(id_col, "doc")
+        .cache()  # reused by the hot-fp aggregate and both join sides
+    )
+    if max_fp_df is not None:
+        hot = (
+            base.groupBy("fp").agg(F.count("*").alias("df_fp"))
+            .filter(F.col("df_fp") > max_fp_df)
+            .select("fp")
+        )
+        base = base.join(F.broadcast(hot), "fp", "left_anti")
+    base = base.withColumn("nfp", F.count("*").over(Window.partitionBy("doc")))
+    a, b = base.alias("a"), base.alias("b")
+    common = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("da"), F.col("b.doc").alias("db"),
+            F.col("a.nfp").alias("na"), F.col("b.nfp").alias("nb"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    out = common.select(
+        "da", "db", "shared_fps",
+        (F.col("shared_fps").cast("double") / F.least("na", "nb")).alias("overlap"),
+    )
+    return out.filter(
+        (F.col("shared_fps") >= min_shared) & (F.col("overlap") >= min_overlap)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text: str, id_col: str, *, n_hashes: int = 32, n: int = 3
 ) -> DataFrame:

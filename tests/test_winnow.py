@@ -73,6 +73,39 @@ def test_short_doc_totality(fps):
     assert all(len(v) >= 1 for v in fps.values())
 
 
+def test_overlap_pairs_planted_contamination(spark):
+    from roll_spark.datapipe.dedup import winnow_overlap_pairs
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "the shared paragraph sits right here in the middle lambda mu nu xi"),
+        (2, "completely different preamble text goes first the shared paragraph "
+            "sits right here in the middle and then a different tail entirely"),
+        (3, "nothing in common with either of the other two documents at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = winnow_overlap_pairs(df, "text", "doc_id", min_shared=2).toPandas()
+    assert set(map(tuple, out[["da", "db"]].values)) == {(1, 2)}
+    row = out.iloc[0]
+    assert row.shared_fps >= 2 and 0 < row.overlap <= 1
+
+
+def test_overlap_pairs_hot_fp_cap(spark):
+    from roll_spark.datapipe.dedup import winnow_overlap_pairs
+
+    # every doc shares ONE boilerplate sentence; capping its fingerprints
+    # (df > 2 of 3 docs) must remove the pairs it alone creates
+    boiler = "this exact boilerplate disclaimer footer appears everywhere"
+    docs = [(i, f"unique body number {i} with its own words {i} " + boiler)
+            for i in range(1, 4)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    loose = winnow_overlap_pairs(df, "text", "doc_id", min_shared=2).toPandas()
+    capped = winnow_overlap_pairs(df, "text", "doc_id", min_shared=2,
+                                  max_fp_df=2).toPandas()
+    assert len(loose) == 3  # all pairs meet through the boilerplate
+    assert len(capped) < len(loose)
+
+
 def test_map_only_plan(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     plan = (

@@ -58,6 +58,8 @@ EXPECT = {
     "doc_lang_trigram": dict(max_exchange=0, max_sort=0),
     # winnowing fingerprints: higher-order-function chain, map-only
     "doc_fingerprint_winnow": dict(max_exchange=0, max_sort=0),
+    # fp inverted-index self-join, same budget/shape as ngram_jaccard
+    "winnow_overlap_pairs": dict(max_exchange=8, forbid_cartesian=True),
     # as-of join: marks groupBy + ONE union-window exchange, ONE sort,
     # ONE Window — never a range/nested-loop join over the event stream
     "asof_join_events": dict(
