@@ -43,6 +43,7 @@ HEADLINE = [
     "roll_mean_w10",
     "roll_var_w10",
     "roll_median_w5",
+    "roll_quantiles_multi_w5",  # 5 fused ps — compare vs roll_median_w5: ~same wall
     "roll_idxmax_w10",
     "roll_cov_w10",
     "roll_lm_w20",
@@ -60,6 +61,8 @@ HEADLINE = [
     "session_stats_1h",     # sessionization + per-session agg
     "dedup_exact",
     "doc_lang_trigram",     # text-analysis family (map-only JVM strings)
+    "doc_fingerprint_winnow",  # winnowing rolling-hash fps (map-only HOFs)
+    "winnow_overlap_pairs",    # contamination pairs (fp inverted-index join)
     "ngram_jaccard_pairs",
     "emb_neardup_lsh_scale",  # banded near-dup at its pruning operating point
     "ann_brute_top5",
@@ -463,11 +466,27 @@ No query regressed >1.5x; the verdict-flagged items moved as designed:
 | roll_median_w5 | 3.327 | 0.657 | HF2 selection precomputed per n (lookup tables replace the per-row division chain) |
 | roll_lm_w20 | 4.097 | 3.067 | same code; r2 number was the noise band's top |
 | ngram_jaccard_pairs | 2.802 | 1.777 | same code; quieter run |
-| headline total | 33.816 (18 q) | 23.753 (20 q) | adds doc_lang_trigram and tier_1m_from_chunks |
+| headline total | 33.816 (18 q) | 28.208 (26 q) | adds 8 new headliners (doc_lang_trigram, tier_1m_from_chunks, asof/range/session family, winnow fingerprint + contamination pairs, fused multi-quantile) — the common set got faster |
 
 Gorilla cold-tier encode, the one row-at-a-time Python hot path flagged
 in round 2, is gone: the chunk store now writes the vectorized RSG2
 codec (table above), with the scalar RSG1 kept solely as a test oracle.
+
+Quantile fusion: `roll_quantiles_multi_w5` computes FIVE probabilities
+(0/.25/.5/.75/1) off one sorted window per row and lands at ~the same
+wall as single-p `roll_median_w5` — the per-p marginal cost is a table
+lookup, not a re-sort (5 calls to the one-p operator would pay the
+collect_list + sort 5x). The weighted/large-width Arrow route is fused
+too (kernels.conv_quantiles): one grouped-map pass whose per-block
+argsort (weighted) or union-kth np.partition (equal weights) is shared
+across every interior p — measured 2.3x over per-p kernel calls at
+5 ps / width 50 / 100k rows, bit-identical columns.
+
+New text-pipeline headliners: `doc_fingerprint_winnow` (MOSS winnowing
+rolling-hash fingerprints, map-only higher-order functions — zero
+exchanges) and `winnow_overlap_pairs` (contamination pairs via the
+fp inverted-index self-join with a hot-fp cap, forbid_cartesian
+audited).
 """
 
 

@@ -232,6 +232,26 @@ def roll_quantile(df, value, by, order, spec: RollSpec, *, out="roll_quantile"):
     return _one(df, value, by, order, spec, K.conv_quantile, out, p=spec.p)
 
 
+def roll_quantiles(df, value, by, order, spec: RollSpec, ps, outs):
+    """Fused multi-p quantile: ONE grouped-map pass, one shared
+    sort/partition per window block (K.conv_quantiles), one output
+    column per probability."""
+    weights = None if spec.weights is None else np.asarray(spec.weights)
+    ps = list(ps)
+
+    def kernel(pdf):
+        x = pdf[value].to_numpy(dtype=np.float64, na_value=np.nan)
+        arr = K.conv_quantiles(
+            x, spec.width, ps, weights=weights,
+            min_obs=spec.effective_min_obs, na_restore=spec.na_restore,
+        )
+        return {o: arr[:, j] for j, o in enumerate(outs)}
+
+    return _apply_kernel(
+        df, [value], by, order, [(o, "double") for o in outs], kernel, spec=spec
+    )
+
+
 def roll_scale(df, value, by, order, spec: RollSpec, *, out="roll_scale"):
     # scale = (x_last - mean) / sd with the reference gates (most recent
     # non-NA in the window; roll_vec.h:3132-3143), composed from the

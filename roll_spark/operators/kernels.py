@@ -371,6 +371,16 @@ def _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs):
     quotient rounding flips the selected order statistic whenever
     fl(pp*total) straddles an attainable mass — dozens of (p, n) combos
     under equal weights alone)."""
+    return _quantile_block_multi(xp, b0, b1, width, [pp], wts_full, min_obs)[:, 0]
+
+
+def _quantile_block_multi(xp, b0, b1, width, pps, wts_full, min_obs):
+    """Multi-p twin of :func:`_quantile_block`: the expensive shared
+    state — sliding windows, argsort, sorted values/weights, cumulative
+    mass — is computed ONCE; each pp costs only the comparison +
+    selection sweeps (O(m·w) cheap vector ops vs the O(m·w log w) sort).
+    Column j of the (m, len(pps)) result is bit-identical to the
+    single-p scan at pps[j]."""
     m = b1 - b0
     wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
     # unstable introsort matches the reference's std::sort (stl_sort_index
@@ -389,19 +399,23 @@ def _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs):
     # NaN slots carry zero weight and must never be selected.
     with np.errstate(invalid="ignore", divide="ignore"):
         mass = cum_top / total[:, None]
-    cond = (mass >= pp) & ~nan_mask
-    last_true = width - 1 - np.argmax(cond[:, ::-1], axis=1)
-    has_true = cond.any(axis=1)
-    k = np.where(has_true, last_true, 0)
     rows = np.arange(m)
-    val_hi = sv[rows, k]
-    mass_k = mass[rows, k]
-    exact = np.abs(mass_k - pp) <= SQRT_EPS
-    k_lo = np.maximum(k - 1, 0)
-    val_lo = sv[rows, k_lo]
-    lo_valid = (k - 1 >= 0) & ~np.isnan(val_lo)
-    q = np.where(exact & lo_valid, (val_hi + val_lo) / 2.0, val_hi)
-    return np.where(n_obs >= max(min_obs, 1), q, np.nan)
+    gate_ok = n_obs >= max(min_obs, 1)
+    out = np.empty((m, len(pps)))
+    for j, pp in enumerate(pps):
+        cond = (mass >= pp) & ~nan_mask
+        last_true = width - 1 - np.argmax(cond[:, ::-1], axis=1)
+        has_true = cond.any(axis=1)
+        k = np.where(has_true, last_true, 0)
+        val_hi = sv[rows, k]
+        mass_k = mass[rows, k]
+        exact = np.abs(mass_k - pp) <= SQRT_EPS
+        k_lo = np.maximum(k - 1, 0)
+        val_lo = sv[rows, k_lo]
+        lo_valid = (k - 1 >= 0) & ~np.isnan(val_lo)
+        q = np.where(exact & lo_valid, (val_hi + val_lo) / 2.0, val_hi)
+        out[:, j] = np.where(gate_ok, q, np.nan)
+    return out
 
 
 def _equal_weight_c(pos, pp):
@@ -433,25 +447,45 @@ def _quantile_block_equal(xp, b0, b1, width, pp, min_obs):
     block's distinct {k-1, k} set handles all of them; pathological
     blocks (more distinct NaN counts than log2(width) -> partition set
     approaching a full sort) fall back to the weighted scan."""
+    res = _quantile_block_equal_multi(xp, b0, b1, width, [pp], min_obs)
+    return None if res is None else res[:, 0]
+
+
+def _quantile_block_equal_multi(xp, b0, b1, width, pps, min_obs):
+    """Multi-p twin of :func:`_quantile_block_equal`: ONE np.partition
+    call whose kth set is the union over all probabilities — the
+    selection per pp is then O(m) gathers. The degenerate-mix bound
+    scales with len(pps) so the single-p fallback decision is
+    unchanged; columns are bit-identical to per-p calls (the fallback
+    only switches algorithm, both paths emit identical values)."""
     m = b1 - b0
     wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
     n_obs = width - np.isnan(wins).sum(axis=1)
     pos = np.maximum(n_obs, 1)
-    c = _equal_weight_c(pos, pp)
-    k = np.maximum(pos - c, 0)
-    kth = np.unique(np.concatenate([k, np.maximum(k - 1, 0)]))
-    if len(kth) > max(4, int(np.log2(width)) + 1):
+    cs, ks, kth_parts = [], [], []
+    for pp in pps:
+        c = _equal_weight_c(pos, pp)
+        k = np.maximum(pos - c, 0)
+        cs.append(c)
+        ks.append(k)
+        kth_parts.extend([k, np.maximum(k - 1, 0)])
+    kth = np.unique(np.concatenate(kth_parts))
+    if len(kth) > max(4, int(np.log2(width)) + 1) * len(pps):
         return None  # degenerate NaN mix: weighted scan handles it
     part = np.partition(wins, kth, axis=1)
     rows = np.arange(m)
-    val_hi = part[rows, k]
-    with np.errstate(invalid="ignore", divide="ignore"):
-        exact = np.abs(c / pos - pp) <= SQRT_EPS
-    k_lo = np.maximum(k - 1, 0)
-    val_lo = part[rows, k_lo]
-    lo_valid = (k - 1 >= 0) & ~np.isnan(val_lo)
-    q = np.where(exact & lo_valid, (val_hi + val_lo) / 2.0, val_hi)
-    return np.where(n_obs >= max(min_obs, 1), q, np.nan)
+    gate_ok = n_obs >= max(min_obs, 1)
+    out = np.empty((m, len(pps)))
+    for j, (pp, c, k) in enumerate(zip(pps, cs, ks)):
+        val_hi = part[rows, k]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            exact = np.abs(c / pos - pp) <= SQRT_EPS
+        k_lo = np.maximum(k - 1, 0)
+        val_lo = part[rows, k_lo]
+        lo_valid = (k - 1 >= 0) & ~np.isnan(val_lo)
+        q = np.where(exact & lo_valid, (val_hi + val_lo) / 2.0, val_hi)
+        out[:, j] = np.where(gate_ok, q, np.nan)
+    return out
 
 
 def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
@@ -492,6 +526,44 @@ def conv_quantile(x, width, p, weights=None, min_obs=None, na_restore=False):
             res = _quantile_block(xp, b0, b1, width, pp, wts_full, min_obs)
         out[b0:b1] = res
     return _restore(out, x, na_restore)
+
+
+def conv_quantiles(x, width, ps, weights=None, min_obs=None, na_restore=False):
+    """Fused multi-probability :func:`conv_quantile`: one (n, len(ps))
+    array whose column j is bit-identical to ``conv_quantile(x, width,
+    ps[j], ...)``.  The per-block shared state (sliding windows + the
+    argsort under weights, or the single union-kth np.partition under
+    equal weights) is paid ONCE; each extra probability costs only its
+    selection sweep — O(w log w + k·w) per row instead of
+    O(k·w log w)."""
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.full((n, len(ps)), np.nan)
+    if n == 0 or not ps:
+        return _restore_cols(out, x, na_restore)
+    pps = [1.0 - p for p in ps]
+    equal = weights is None
+    wts_full = _kernel(weights, width)[::-1]
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, x])
+    block = min(max((131072 // max(width, 1)), 128), 8192)
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        res = None
+        if equal:
+            res = _quantile_block_equal_multi(xp, b0, b1, width, pps, min_obs)
+        if res is None:
+            res = _quantile_block_multi(xp, b0, b1, width, pps, wts_full, min_obs)
+        out[b0:b1] = res
+    return _restore_cols(out, x, na_restore)
+
+
+def _restore_cols(out, x, na_restore):
+    if na_restore:
+        for j in range(out.shape[1]):
+            out[:, j] = _restore(out[:, j], x, True)
+    return out
 
 
 def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):

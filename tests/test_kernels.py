@@ -320,3 +320,34 @@ def test_equal_weight_c_is_smallest_division_satisfier():
             while c < n and c / n < pp:
                 c += 1
             assert c_fast[n - 1] == c, (pp, n, c_fast[n - 1], c)
+
+
+def test_conv_quantiles_fused_equals_per_p():
+    """conv_quantiles column j must be BIT-identical to conv_quantile at
+    ps[j] on both the equal-weight partition path and the weighted scan
+    path, across NaN mixes, min_obs, and na_restore."""
+    rng = np.random.default_rng(1234)
+    ps = [0.01, 0.25, 0.5, 0.75, 0.99, 1 / 3]
+    for trial in range(4):
+        n = int(rng.integers(5, 300))
+        width = int(rng.integers(1, 25))
+        x = rng.normal(size=n)
+        x[rng.random(n) < 0.25] = np.nan
+        for weights in (None, list(rng.random(width) + 0.1)):
+            for min_obs, na_restore in ((1, False), (max(1, width // 2), True)):
+                fused = K.conv_quantiles(x, width, ps, weights=weights,
+                                         min_obs=min_obs, na_restore=na_restore)
+                for j, p in enumerate(ps):
+                    single = K.conv_quantile(x, width, p, weights=weights,
+                                             min_obs=min_obs, na_restore=na_restore)
+                    same = (fused[:, j] == single) | (
+                        np.isnan(fused[:, j]) & np.isnan(single))
+                    assert same.all(), (trial, p, width, weights is None)
+
+
+def test_conv_quantiles_empty_and_degenerate():
+    assert K.conv_quantiles(np.array([]), 5, [0.5]).shape == (0, 1)
+    # all-NaN series: every output NaN, both paths
+    x = np.full(20, np.nan)
+    out = K.conv_quantiles(x, 4, [0.25, 0.75], min_obs=1)
+    assert np.isnan(out).all()

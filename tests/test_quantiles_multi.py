@@ -78,3 +78,45 @@ def test_outs_length_mismatch(spark):
     sdf = spark.createDataFrame(_fixture(10))
     with pytest.raises(ValueError, match="outs must match"):
         roll_quantiles(sdf, "v", "k", "o", 5, [0.5], outs=["a", "b"])
+
+
+def test_fused_arrow_large_width_equals_per_p(spark):
+    """width > QUANTILE_NATIVE_MAX_WIDTH routes the fused op to the
+    Arrow conv_quantiles kernel — parity with per-p roll_quantile."""
+    pdf = _fixture(600, n_keys=2)
+    sdf = spark.createDataFrame(pdf)
+    ps, outs = [0.25, 0.5, 0.9], ["a", "b", "c"]
+    fused = (
+        roll_quantiles(sdf, "v", "k", "o", 300, ps, min_obs=1, outs=outs)
+        .toPandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    for p, o in zip(ps, outs):
+        single = (
+            roll_quantile(sdf, "v", "k", "o", 300, p, min_obs=1, out="s")
+            .toPandas().sort_values(["k", "o"]).reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(fused[o].to_numpy(), single["s"].to_numpy(),
+                                      err_msg=f"p={p}")
+
+
+def test_fused_weighted_endpoints_and_plan(spark):
+    """Weighted fused path: endpoints go through roll_min/roll_max, the
+    interior ps share ONE grouped-map pass (exactly one FlatMapGroups
+    for 3 interior ps), and every column matches its per-p twin."""
+    pdf = _fixture(200)
+    sdf = spark.createDataFrame(pdf)
+    w = [0.5, 1.0, 1.5, 2.0, 2.5]
+    ps = [0.0, 0.25, 0.5, 0.75, 1.0]
+    outs = ["lo", "a", "b", "c", "hi"]
+    res = roll_quantiles(sdf, "v", "k", "o", 5, ps, weights=w, outs=outs)
+    assert res.columns[-5:] == outs
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    got = res.toPandas().sort_values(["k", "o"]).reset_index(drop=True)
+    for p, o in zip(ps, outs):
+        single = (
+            roll_quantile(sdf, "v", "k", "o", 5, p, weights=w, out="s")
+            .toPandas().sort_values(["k", "o"]).reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(got[o].to_numpy(), single["s"].to_numpy(),
+                                      err_msg=f"p={p}")
