@@ -445,3 +445,88 @@ def embedding_neardup_lsh(
         .select("da", "db", cosine_expr("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "da",
+    b: str = "db",
+    *,
+    max_iter: int = 30,
+    out_id: str = "doc_id",
+    out_cluster: str = "cluster_id",
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    candidate-pair edge list (minhash / simhash / winnow-overlap pairs),
+    labeling every node with its component's MINIMUM id.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — O(log^2 n) rounds
+    worst-case, each round ONE groupBy over the edge list, so an
+    adversarial chain of near-duplicates (the failure mode of naive
+    min-label propagation, whose round count is the graph DIAMETER)
+    still converges in a handful of shuffles at 10^10 edges.  Per-round
+    driver work is two scalars (edge count + order-insensitive digest)
+    for the fixpoint test; edge lineage is truncated with
+    localCheckpoint so round k does not replay rounds 1..k-1.
+
+    large-star: every node u connects its strictly-larger neighbors to
+    min(N(u) ∪ {u}); small-star: after directing edges high->low, every
+    node connects its smaller-or-equal neighbors to that minimum.  At
+    the fixpoint the edge list IS the star (node -> component min).
+    """
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _digest(edges):
+        # bit_xor: order-insensitive and immune to ANSI sum overflow
+        # (edge rows are distinct, so xor cancellation cannot collide
+        # two different edge SETS that share count)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(edges):
+        nbr = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            nbr.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges):
+        d = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        withm = d.join(m, "u")
+        out = (
+            withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(withm.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return out
+
+    sig = _digest(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nsig = _digest(e)
+        if nsig == sig:
+            break
+        sig = nsig
+    # fixpoint edges point node -> component min; the min itself has no
+    # outgoing edge, so union its self-label back in
+    labels = e.select(F.col("u").alias(out_id), F.col("v").alias(out_cluster)).union(
+        e.select(F.col("v").alias(out_id), F.col("v").alias(out_cluster))
+    ).groupBy(out_id).agg(F.min(out_cluster).alias(out_cluster))
+    sizes = labels.groupBy(out_cluster).agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, out_cluster).select(out_id, out_cluster, "cluster_size")

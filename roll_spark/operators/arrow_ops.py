@@ -508,3 +508,21 @@ def roll_cov_matrix(
         return {out: [[None if np.isnan(v) else float(v) for v in row] for row in cube]}
 
     return _apply_kernel(df, x_cols, by, order, [(out, "array<double>")], kernel, spec=spec)
+
+
+def roll_mad(df, value, by, order, width, *, min_obs=None, na_restore=False,
+             max_group_rows=None, out="roll_mad"):
+    """Rolling median absolute deviation (robust dispersion for
+    heavy-tailed transcript series — latency spikes, token bursts).
+    Arrow-only: the inner median-of-deviations re-centers per window, so
+    there is no single-Window Catalyst form; the kernel is the same
+    strided-block shape as conv_quantile (kernels.conv_mad)."""
+    spec = RollSpec(width=width, min_obs=min_obs, na_restore=na_restore,
+                    max_group_rows=max_group_rows)
+
+    def kernel(pdf):
+        x = pdf[value].to_numpy(dtype=np.float64, na_value=np.nan)
+        return {out: K.conv_mad(x, width, min_obs=spec.effective_min_obs,
+                                na_restore=na_restore)}
+
+    return _apply_kernel(df, [value], by, order, [(out, "double")], kernel, spec=spec)

@@ -89,3 +89,53 @@ def roll_time(
             expr = F.when(cnt >= F.lit(min_obs), expr)
         cols[f"{prefix}{a}"] = expr
     return out.withColumns(cols).drop(t_us)
+
+
+def ewma_time(
+    df: DataFrame,
+    value: str,
+    by: Cols,
+    order: str,
+    halflife_s: float,
+    *,
+    min_obs: int = 1,
+    max_group_rows: int | None = None,
+    out: str = "ewma",
+) -> DataFrame:
+    """Time-decay EWMA over irregular event times (adjusted form):
+    each row's statistic weights every prior observation by
+    ``2^(-(t_i - t_j)/halflife)`` — the reference's exp-decay weights
+    (roll_check.h:68) generalized from row-indexed to true event-time
+    decay, which is what conversation telemetry needs (turn gaps are
+    wildly irregular).
+
+    Arrow path (kernels.conv_ewma_time): sequential in time per series
+    but fully vectorized (blocked rebased cumsums, no per-row Python),
+    one grouped-map pass per series; skewed series route through the
+    chunked layout via ``max_group_rows``... except this op is
+    EXPANDING, so chunk overlap would be the whole prefix — instead the
+    kernel itself is O(n) with O(1) state and a 10^9-turn conversation
+    costs one linear pass. ``max_group_rows`` is therefore rejected to
+    keep the contract honest.
+    """
+    if max_group_rows is not None:
+        raise ValueError(
+            "ewma_time is expanding: overlap-padded chunking cannot bound "
+            "its prefix dependence; run the series whole (O(n) kernel)"
+        )
+    from roll_spark.operators.arrow_ops import _apply_kernel
+    from roll_spark.operators import kernels as K
+
+    t_us = "__roll_t_us"
+    df = df.withColumn(t_us, _epoch_micros(df, order))
+
+    def kernel(pdf):
+        import numpy as np
+
+        x = pdf[value].to_numpy(dtype=np.float64, na_value=np.nan)
+        t = pdf[t_us].to_numpy(dtype=np.int64)
+        return {out: K.conv_ewma_time(x, t, halflife_s, min_obs=min_obs)}
+
+    res = _apply_kernel(df, [value, t_us], [*_as_list(by)], [order, ],
+                        [(out, "double")], kernel)
+    return res.drop(t_us)

@@ -217,3 +217,32 @@ def gapfill(
     return joined.withColumn(f"{value}_filled", filled).withColumn(
         "is_gap", F.col(value).isNull()
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    value: str,
+    ts: str,
+    by: Cols,
+    tier: str,
+    *,
+    bucket_out: str = "bucket_ts",
+) -> DataFrame:
+    """OHLC downsample bars per (series, tier bucket): open/high/low/
+    close + count + mean, read straight off the MERGEABLE sufficient
+    stats (rollup_raw already tracks first/last/min/max) — so bars at
+    any coarser tier can also be Chan-merged from finer bars instead of
+    re-scanning raw, and the plan is ONE groupBy with map-side partial
+    aggregation (min/max over (ts, value) structs), no window, no sort.
+    """
+    stats = rollup_raw(df, value, ts, by, tier, bucket_out=bucket_out)
+    return stats.select(
+        *_as_list(by),
+        bucket_out,
+        F.col("first_x").alias("open"),
+        F.col("max_x").alias("high"),
+        F.col("min_x").alias("low"),
+        F.col("last_x").alias("close"),
+        F.col("n").alias("n_obs"),
+        (F.col("sum_x") / F.col("n")).alias("mean_x"),
+    )

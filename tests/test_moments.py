@@ -1,0 +1,235 @@
+"""Higher-moment ops (skew/kurt/MAD/nunique), time-decay EWMA, OHLC
+bars and connected components vs brute-force oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from roll_spark.operators.arrow_ops import roll_mad
+from roll_spark.operators.kernels import conv_ewma_time, conv_mad
+from roll_spark.operators.moments import (
+    roll_kurt,
+    roll_nunique,
+    roll_skew,
+    roll_skew_kurt,
+)
+from roll_spark.operators.time_windows import ewma_time
+
+SEED = 8172
+
+
+def _fixture(n=400, n_keys=5):
+    rng = np.random.default_rng(SEED)
+    k = rng.integers(0, n_keys, n)
+    offs = np.cumsum(rng.exponential(600, n))
+    ts = (pd.Timestamp("2024-05-01") + pd.to_timedelta(offs, unit="s")).floor("us")
+    v = rng.uniform(0.0, 100.0, n).round(2)
+    v[rng.random(n) < 0.12] = np.nan
+    pdf = pd.DataFrame({"k": k, "ts": ts, "v": v})
+    return pdf.sort_values(["k", "ts"]).reset_index(drop=True)
+
+
+def _windows(g, width):
+    vals = g["v"].to_numpy()
+    for i in range(len(vals)):
+        yield i, vals[max(0, i - width + 1) : i + 1]
+
+
+def _brute_moment(pdf, width, min_obs, stat):
+    out = {}
+    for key, g in pdf.groupby("k"):
+        idx = g.index.to_numpy()
+        for i, win in _windows(g, width):
+            obs = win[~np.isnan(win)]
+            n = len(obs)
+            res = np.nan
+            if n >= min_obs:
+                m = obs.mean() if n else np.nan
+                M2 = ((obs - m) ** 2).sum()
+                if stat == "skew" and n >= 3 and M2 > 1e-12:
+                    g1 = ((obs - m) ** 3).sum() * np.sqrt(n) / M2**1.5
+                    res = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+                elif stat == "kurt" and n >= 4 and M2 > 1e-12:
+                    g2 = n * ((obs - m) ** 4).sum() / M2**2 - 3
+                    res = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+                elif stat == "mad":
+                    res = np.median(np.abs(obs - np.median(obs)))
+                elif stat == "nunique":
+                    res = float(len(np.unique(obs)))
+            out[idx[i]] = res
+    return np.array([out[i] for i in range(len(pdf))])
+
+
+def _collect(df, col):
+    pdf = df.select("k", "ts", col).toPandas().sort_values(["k", "ts"])
+    base = _fixture().sort_values(["k", "ts"])
+    assert len(pdf) == len(base)
+    return pdf[col].to_numpy(dtype=np.float64)
+
+
+@pytest.mark.parametrize("stat,fn,min_obs", [
+    ("skew", roll_skew, 3),
+    ("kurt", roll_kurt, 4),
+])
+def test_skew_kurt_native(spark, stat, fn, min_obs):
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    res = fn(sdf, "v", "k", "ts", 12, min_obs=min_obs, out="s")
+    got = res.select("k", "ts", "s").toPandas().sort_values(["k", "ts"])["s"].to_numpy(dtype=np.float64)
+    want = _brute_moment(pdf.sort_values(["k", "ts"]), 12, min_obs, stat)
+    assert np.allclose(got, want, equal_nan=True, atol=1e-8)
+
+
+def test_skew_kurt_fused_matches_split(spark):
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    fused = roll_skew_kurt(sdf, "v", "k", "ts", 12, min_obs=4,
+                           out_skew="sk", out_kurt="ku")
+    f = fused.select("k", "ts", "sk", "ku").toPandas().sort_values(["k", "ts"])
+    s = roll_skew(sdf, "v", "k", "ts", 12, min_obs=4, out="sk") \
+        .select("k", "ts", "sk").toPandas().sort_values(["k", "ts"])
+    k = roll_kurt(sdf, "v", "k", "ts", 12, min_obs=4, out="ku") \
+        .select("k", "ts", "ku").toPandas().sort_values(["k", "ts"])
+    assert np.allclose(f["sk"].to_numpy(dtype=float), s["sk"].to_numpy(dtype=float), equal_nan=True)
+    assert np.allclose(f["ku"].to_numpy(dtype=float), k["ku"].to_numpy(dtype=float), equal_nan=True)
+
+
+def test_skew_plan_one_exchange(spark):
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    plan = roll_skew_kurt(sdf, "v", "k", "ts", 12, min_obs=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert plan.count("Sort") <= 1
+
+
+def test_mad_arrow(spark):
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    res = roll_mad(sdf, "v", "k", "ts", 9, min_obs=3, out="s")
+    got = res.select("k", "ts", "s").toPandas().sort_values(["k", "ts"])["s"].to_numpy(dtype=np.float64)
+    want = _brute_moment(pdf.sort_values(["k", "ts"]), 9, 3, "mad")
+    assert np.allclose(got, want, equal_nan=True, atol=1e-10)
+
+
+def test_mad_rejects_weights():
+    with pytest.raises(ValueError, match="weights"):
+        conv_mad(np.arange(5.0), 3, weights=[1, 2, 3])
+
+
+def test_nunique(spark):
+    pdf = _fixture()
+    pdf["v"] = np.floor(pdf["v"] / 10)  # force duplicates in windows
+    sdf = spark.createDataFrame(pdf)
+    res = roll_nunique(sdf, "v", "k", "ts", 10, min_obs=1, out="s")
+    got = res.select("k", "ts", "s").toPandas().sort_values(["k", "ts"])["s"].to_numpy(dtype=np.float64)
+    want = _brute_moment(pdf.sort_values(["k", "ts"]), 10, 1, "nunique")
+    assert np.allclose(got, want, equal_nan=True)
+
+
+def test_ewma_kernel_matches_naive_and_blocking_invariant():
+    rng = np.random.default_rng(SEED + 1)
+    n = 300
+    x = rng.uniform(0, 100, n)
+    x[rng.random(n) < 0.15] = np.nan
+    t = np.cumsum(rng.exponential(7200.0, n))
+    t_us = (t * 1e6).astype(np.int64)
+    for hl in (900.0, 86400.0):  # small hl forces many block splits
+        lam = np.log(2) / hl
+        want = np.full(n, np.nan)
+        for i in range(n):
+            w = np.exp(-lam * (t[i] - t[: i + 1]))
+            m = ~np.isnan(x[: i + 1])
+            if m.sum() >= 2:
+                want[i] = np.sum(np.where(m, x[: i + 1], 0) * w) / np.sum(w[m])
+        got = conv_ewma_time(x, t_us, hl, min_obs=2)
+        ok = ~np.isnan(want)
+        assert np.array_equal(np.isnan(got), ~ok)
+        assert np.allclose(got[ok], want[ok], rtol=1e-7)
+
+
+def test_ewma_time_spark(spark):
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    res = ewma_time(sdf, "v", "k", "ts", 6 * 3600.0, min_obs=1, out="e")
+    got = res.select("k", "ts", "e").toPandas().sort_values(["k", "ts"])
+    base = pdf.sort_values(["k", "ts"])
+    for key, g in base.groupby("k"):
+        x = g["v"].to_numpy()
+        t_us = g["ts"].astype("int64").to_numpy() // 1000
+        want = conv_ewma_time(x, t_us, 6 * 3600.0, min_obs=1)
+        sub = got[got["k"] == key]["e"].to_numpy(dtype=np.float64)
+        assert np.allclose(sub, want, equal_nan=True, rtol=1e-12)
+
+
+def test_ewma_rejects_chunking(spark):
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="expanding"):
+        ewma_time(sdf, "v", "k", "ts", 3600.0, max_group_rows=100)
+
+
+def test_ohlc_bars(spark):
+    from roll_spark.plans.tiers import ohlc_bars
+
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    got = ohlc_bars(sdf, "v", "ts", "k", "1h").toPandas() \
+        .sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    base = pdf.dropna(subset=["v"]).copy()
+    base["bucket_ts"] = base["ts"].dt.floor("h")
+    rows = []
+    for (k, b), g in base.sort_values("ts").groupby(["k", "bucket_ts"]):
+        rows.append((k, b, g["v"].iloc[0], g["v"].max(), g["v"].min(),
+                     g["v"].iloc[-1]))
+    want = pd.DataFrame(rows, columns=["k", "bucket_ts", "open", "high", "low", "close"]) \
+        .sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    # buckets with ONLY NaN raw rows still appear (n counts non-null=0);
+    # compare on the non-empty ones
+    got_ne = got[got["n_obs"] > 0].reset_index(drop=True)
+    assert len(got_ne) == len(want)
+    for c in ["open", "high", "low", "close"]:
+        assert np.allclose(got_ne[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float))
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("shape", ["random", "chain", "stars"])
+def test_connected_components(spark, shape):
+    from roll_spark.datapipe.dedup import connected_components
+
+    rng = np.random.default_rng(SEED + 2)
+    if shape == "random":
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2)) if a != b]
+    elif shape == "chain":
+        # worst case for naive min-label propagation: one long path,
+        # descending ids so the min label must travel the full length
+        edges = [(i + 1, i) for i in range(100, 0, -1)]
+    else:
+        edges = [(h, h * 100 + i) for h in (1, 2, 3) for i in range(1, 20)]
+    want = _uf_components(edges)
+    sdf = spark.createDataFrame(pd.DataFrame(edges, columns=["da", "db"]))
+    got = connected_components(sdf, "da", "db").toPandas()
+    gmap = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert gmap == want
+    sizes = {}
+    for n, c in want.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for _, r in got.iterrows():
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
