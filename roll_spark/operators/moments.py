@@ -60,6 +60,10 @@ def _central_moments(df, value, by, order, width):
     df = df.withColumns(
         {
             "__n": F.count(d).over(w).cast("double"),
+            # the min_obs gate's count rides the SAME WindowExec — a
+            # later F.count(value).over(w) would sit behind the moment
+            # Project and CollapseWindow could no longer merge it
+            "__nobs": F.count(F.col(value)).over(w),
             "__s1": F.sum(d).over(w),
             "__s2": F.sum(d * d).over(w),
             "__s3": F.sum(d * d * d).over(w),
@@ -78,7 +82,7 @@ def _central_moments(df, value, by, order, width):
     return df
 
 
-_MOM_TMP = ["__c", "__n", "__s1", "__s2", "__s3", "__s4", "__m2", "__m3", "__m4"]
+_MOM_TMP = ["__c", "__n", "__nobs", "__s1", "__s2", "__s3", "__s4", "__m2", "__m3", "__m4"]
 
 
 @complete_obs_maskable
@@ -103,8 +107,7 @@ def roll_skew(
         (n >= 3) & (m2 > F.lit(EPS)),
         g1 * F.sqrt(n * (n - 1)) / (n - 2),
     )
-    w = rolling_window(by, order, width)
-    n_obs = F.count(F.col(value)).over(w)
+    n_obs = F.col("__nobs")
     return df.withColumn(out, gate(spec, F.col(value), stat, n_obs)).drop(*_MOM_TMP)
 
 
@@ -130,8 +133,7 @@ def roll_kurt(
         (n >= 4) & (m2 > F.lit(EPS)),
         ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)),
     )
-    w = rolling_window(by, order, width)
-    n_obs = F.count(F.col(value)).over(w)
+    n_obs = F.col("__nobs")
     return df.withColumn(out, gate(spec, F.col(value), stat, n_obs)).drop(*_MOM_TMP)
 
 
@@ -157,8 +159,7 @@ def roll_skew_kurt(
     n, m2, m3, m4 = (F.col(c) for c in ("__n", "__m2", "__m3", "__m4"))
     g1 = m3 * F.sqrt(n) / F.pow(m2, F.lit(1.5))
     g2 = n * m4 / (m2 * m2) - 3
-    w = rolling_window(by, order, width)
-    n_obs = F.count(F.col(value)).over(w)
+    n_obs = F.col("__nobs")
     v = F.col(value)
     skew = F.when((n >= 3) & (m2 > F.lit(EPS)), g1 * F.sqrt(n * (n - 1)) / (n - 2))
     kurt = F.when(

@@ -229,20 +229,26 @@ def ohlc_bars(
     bucket_out: str = "bucket_ts",
 ) -> DataFrame:
     """OHLC downsample bars per (series, tier bucket): open/high/low/
-    close + count + mean, read straight off the MERGEABLE sufficient
-    stats (rollup_raw already tracks first/last/min/max) — so bars at
-    any coarser tier can also be Chan-merged from finer bars instead of
-    re-scanning raw, and the plan is ONE groupBy with map-side partial
-    aggregation (min/max over (ts, value) structs), no window, no sort.
+    close + count + mean — ONE groupBy with map-side partial
+    aggregation, no window, no sort.
+
+    Open/close use min_by/max_by on the timestamp (declarative
+    aggregates -> HashAggregate, zero sorts) rather than rollup_raw's
+    struct-min encoding, which falls back to SortAggregate (struct
+    ordering is interpreted) — same values, cheaper plan; a NULL-value
+    row contributes to no bar field (its ordering key is NULLed so
+    min_by/max_by skip it). Bars stay Chan-mergeable to coarser tiers:
+    open/close re-merge with min_by/max_by over (bar, bucket edge).
     """
-    stats = rollup_raw(df, value, ts, by, tier, bucket_out=bucket_out)
-    return stats.select(
-        *_as_list(by),
-        bucket_out,
-        F.col("first_x").alias("open"),
-        F.col("max_x").alias("high"),
-        F.col("min_x").alias("low"),
-        F.col("last_x").alias("close"),
-        F.col("n").alias("n_obs"),
-        (F.col("sum_x") / F.col("n")).alias("mean_x"),
+    v = F.col(value)
+    t_obs = F.when(v.isNotNull(), F.col(ts))
+    keys = [*_as_list(by), bucket_col(F.col(ts), tier).alias(bucket_out)]
+    n = F.count(v)
+    return df.groupBy(*keys).agg(
+        F.min_by(v, t_obs).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, t_obs).alias("close"),
+        n.alias("n_obs"),
+        (F.sum(v) / n).alias("mean_x"),
     )

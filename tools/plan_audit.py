@@ -75,6 +75,20 @@ EXPECT = {
     "sessionize_1h": dict(max_exchange=1, max_sort=1, max_window=2),
     # + one partial-agg exchange for the per-session groupBy
     "session_stats_1h": dict(max_exchange=2, max_sort=1, max_window=2),
+    # fused skew/kurt: per-series centering avg + sliding power sums
+    # share ONE exchange + ONE sort (two WindowExec nodes)
+    "roll_skew_kurt_w20": dict(max_exchange=1, max_sort=1, max_window=2),
+    "roll_mad_w10": dict(max_exchange=1),            # Arrow path: one groupBy
+    "roll_nunique_w10": dict(max_exchange=1, max_sort=1, max_window=1),
+    "ewma_halflife_7d": dict(max_exchange=1),        # Arrow path: one groupBy
+    # OHLC bars: ONE partial-agg groupBy, zero sorts, zero windows
+    "tier_1h_ohlc": dict(max_exchange=1, max_sort=0, max_window=0),
+    # CC fixpoint: iterative star contraction — per-round groupBys;
+    # lineage is truncated by localCheckpoint so the audited plan has no
+    # FileScan (the pair-generation scan is audited via
+    # winnow_overlap_pairs); never a cartesian join
+    "winnow_cc_clusters": dict(max_exchange=12, forbid_cartesian=True,
+                               scan_free=True),
 }
 
 
@@ -111,7 +125,7 @@ def audit(name: str, df, rules: dict) -> list[str]:
             continue
         if "props" in cols and "props" not in name:
             errs.append(f"events scan reads pruned-out column props: [{cols}]")
-    if scan_count == 0:
+    if scan_count == 0 and not rules.get("scan_free"):
         errs.append("no FileScan matched — pruning audit saw nothing")
     return errs
 
