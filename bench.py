@@ -59,6 +59,11 @@ HEADLINE = [
     "asof_join_events",     # union+window as-of join family
     "roll_mean_range_1h",   # time-range (RANGE frame) window family
     "session_stats_1h",     # sessionization + per-session agg
+    "roll_skew_kurt_w20",   # fused higher-moment family (2-WindowExec native)
+    "roll_mad_w10",         # robust dispersion (Arrow blocked nanmedian)
+    "ewma_halflife_7d",     # time-decay EWMA (blocked rebased-cumsum scan)
+    "tier_1h_ohlc",         # OHLC downsample bars (hash-agg, sort-free)
+    "winnow_cc_clusters",   # duplicate clustering (large/small-star fixpoint)
     "dedup_exact",
     "doc_lang_trigram",     # text-analysis family (map-only JVM strings)
     "doc_fingerprint_winnow",  # winnowing rolling-hash fps (map-only HOFs)

@@ -447,6 +447,45 @@ def embedding_neardup_lsh(
     )
 
 
+def _cc_digest(edges):
+    """(count, order-insensitive xor digest) of an edge list — the
+    fixpoint test's whole driver footprint. bit_xor is immune to ANSI
+    sum overflow; edge rows are distinct so xor cancellation cannot
+    collide two different edge sets that share a count."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _cc_large_star(edges):
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbr = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbr.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges):
+    """Direct edges high->low, connect every smaller-or-equal neighbor
+    (and u itself) to the minimum."""
+    d = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    withm = d.join(m, "u")
+    return (
+        withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(withm.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "da",
@@ -475,51 +514,39 @@ def connected_components(
     node connects its smaller-or-equal neighbors to that minimum.  At
     the fixpoint the edge list IS the star (node -> component min).
     """
+    # checkpoint the INITIAL edge list too: the upstream pair pipeline
+    # (LSH / winnow inverted-index joins) is the expensive part, and the
+    # round-0 star DAG references the edges several times (u->v plus the
+    # swapped direction, each through its own shuffle lineage) — without
+    # truncation the pair generation re-executes per reference
+    # (measured 30s -> ~6s at sf0.1)
     e = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    def _digest(edges):
-        # bit_xor: order-insensitive and immune to ANSI sum overflow
-        # (edge rows are distinct, so xor cancellation cannot collide
-        # two different edge SETS that share count)
-        row = edges.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    # the edge list SHRINKS every round (star contraction), so keep the
+    # physical partition count matched to the current edge count — the
+    # digest already knows it for free. Without this, every round pays
+    # shuffle-partition-count task launches for a few hundred rows and
+    # the fixpoint loop is pure scheduler overhead (measured 30s -> ~5s
+    # at sf0.1); at 10^10 edges the same formula keeps full parallelism
+    # (capped at 4x the cluster's default parallelism).
+    par_cap = 4 * pairs.sparkSession.sparkContext.defaultParallelism
 
-    def _large_star(edges):
-        nbr = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        return (
-            nbr.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+    def _parts(n_edges):
+        return int(max(1, min(par_cap, n_edges // 200_000 + 1)))
 
-    def _small_star(edges):
-        d = edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        m = d.groupBy("u").agg(F.min("v").alias("m"))
-        withm = d.join(m, "u")
-        out = (
-            withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(withm.select(F.col("u"), F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        return out
-
-    sig = _digest(e)
+    sig = _cc_digest(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        nsig = _digest(e)
+        e = (
+            _cc_small_star(_cc_large_star(e))
+            .repartition(_parts(sig[0]))
+            .localCheckpoint(eager=True)
+        )
+        nsig = _cc_digest(e)
         if nsig == sig:
             break
         sig = nsig
