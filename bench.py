@@ -60,6 +60,7 @@ HEADLINE = [
     "roll_mean_range_1h",   # time-range (RANGE frame) window family
     "session_stats_1h",     # sessionization + per-session agg
     "roll_skew_kurt_w20",   # fused higher-moment family (2-WindowExec native)
+    "roll_acf_w20",         # fused multi-lag autocorrelation (2-WindowExec)
     "roll_mad_w10",         # robust dispersion (Arrow blocked nanmedian)
     "ewma_halflife_7d",     # time-decay EWMA (blocked rebased-cumsum scan)
     "tier_1h_ohlc",         # OHLC downsample bars (hash-agg, sort-free)

@@ -198,3 +198,106 @@ def roll_nunique(
     n_obs = F.count(v).over(w)
     stat = F.size(F.array_distinct(F.collect_list(v).over(w))).cast("int")
     return df.withColumn(out, gate(spec, v, stat, n_obs))
+
+
+def roll_acf(
+    df: DataFrame,
+    value: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    lags: "Sequence[int]" = (1, 2, 3),
+    *,
+    min_obs: int | None = None,
+    na_restore: bool = False,
+    out_prefix: str = "acf_",
+) -> DataFrame:
+    """Fused rolling autocorrelation function: cor(x_t, x_{t-j}) over the
+    trailing width-window for EVERY lag j in ``lags``, in one pass —
+    seasonality / self-similarity detection on transcript series
+    (turn-latency periodicity, burst echo).
+
+    Plan shape: ONE Exchange + ONE Sort + TWO WindowExec nodes total —
+    one offset node computing every lag column, one frame node computing
+    every lag's pairwise-complete moment set (all lags' aggregates share
+    the sliding frame, so Catalyst keeps them in a single node). k
+    separate roll_cor calls would cost 2k Window nodes (interleaved
+    Projects defeat CollapseWindow).
+
+    Per-lag semantics are EXACTLY roll_cor(x, lag_j(x)) on the reference
+    gates (pairwise-complete mask, eps on the centered sums of squares,
+    n_obs > 1, min_obs): column j of this fused op is bit-identical to
+    the sequential composition (tests/test_moments.py asserts it).
+    """
+    from roll_spark.operators.base import ordered_window
+    from roll_spark.operators.window_ops import _spec
+
+    spec = _spec(width, min_obs, True, na_restore, None)
+    lags = list(lags)
+    ow = ordered_window(by, order)
+    w = rolling_window(by, order, width)
+    v = F.col(value)
+    # 1: all lag columns in one withColumns -> ONE offset WindowExec
+    df = df.withColumns({f"__lag{j}": F.lag(v, j).over(ow) for j in lags})
+    # 2: all frame aggregates in one withColumns -> ONE frame WindowExec
+    aggs = {}
+    for j in lags:
+        y = F.col(f"__lag{j}")
+        both = v.isNotNull() & y.isNotNull()
+        xm, ym = F.when(both, v), F.when(both, y)
+        aggs[f"__n{j}"] = F.count(F.when(both, F.lit(1))).over(w)
+        aggs[f"__cov{j}"] = F.covar_samp(xm, ym).over(w)
+        aggs[f"__sdx{j}"] = F.stddev_samp(xm).over(w)
+        aggs[f"__sdy{j}"] = F.stddev_samp(ym).over(w)
+    df = df.withColumns(aggs)
+    # 3: gated correlations in the projection (division OUTSIDE the
+    # window aggregate — ANSI-safe, see roll_cor)
+    outs, tmps = {}, []
+    for j in lags:
+        n_obs = F.col(f"__n{j}")
+        ssx = F.col(f"__sdx{j}") * F.col(f"__sdx{j}") * (n_obs - 1)
+        ssy = F.col(f"__sdy{j}") * F.col(f"__sdy{j}") * (n_obs - 1)
+        stat = F.when(
+            (ssx > F.lit(EPS)) & (ssy > F.lit(EPS)),
+            F.col(f"__cov{j}") / (F.col(f"__sdx{j}") * F.col(f"__sdy{j}")),
+        )
+        restore_ref = F.when(
+            v.isNull() | F.col(f"__lag{j}").isNull(), F.lit(None)
+        ).otherwise(F.lit(1.0))
+        outs[f"{out_prefix}{j}"] = gate(spec, restore_ref, stat, n_obs, need_two=True)
+        tmps += [f"__lag{j}", f"__n{j}", f"__cov{j}", f"__sdx{j}", f"__sdy{j}"]
+    return df.withColumns(outs).drop(*tmps)
+
+
+@complete_obs_maskable
+def roll_percentrank(
+    df: DataFrame,
+    value: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    *,
+    min_obs: int | None = None,
+    complete_obs: bool = False,
+    na_restore: bool = False,
+    out: str = "roll_percentrank",
+) -> DataFrame:
+    """Rolling percent rank of the CURRENT value within its trailing
+    window: (#{observed v <= x_t} - 1) / (n_obs - 1), in [0, 1] — a
+    distribution-free "how extreme is this turn" score (the windowed
+    twin of SQL PERCENT_RANK, which only ranks over unbounded frames).
+
+    collect_list + a JVM higher-order filter; NULL when the current
+    value is missing or n_obs < max(min_obs, 2).
+    """
+    spec = _spec(width, min_obs, complete_obs, na_restore, None)
+    w = rolling_window(by, order, width)
+    v = F.col(value)
+    n_obs = F.count(v).over(w)
+    arr = F.collect_list(v).over(w)
+    le = F.size(F.filter(arr, lambda e: e <= v))
+    stat = F.when(
+        v.isNotNull() & (n_obs >= 2),
+        (le - F.lit(1)).cast("double") / (n_obs - F.lit(1)),
+    )
+    return df.withColumn(out, gate(spec, v, stat, n_obs, need_two=True))

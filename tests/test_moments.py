@@ -233,3 +233,60 @@ def test_connected_components(spark, shape):
         sizes[c] = sizes.get(c, 0) + 1
     for _, r in got.iterrows():
         assert r["cluster_size"] == sizes[r["cluster_id"]]
+
+
+def test_acf_matches_sequential_roll_cor(spark):
+    from roll_spark.operators.moments import roll_acf
+    from roll_spark.operators.window_ops import roll_cor
+
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    fused = roll_acf(sdf, "v", "k", "ts", 15, lags=(1, 3, 5), min_obs=6)
+    f = fused.select("k", "ts", "acf_1", "acf_3", "acf_5") \
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    for j in (1, 3, 5):
+        lagged = sdf.withColumn("vlag", __import__("pyspark.sql.functions", fromlist=["F"]).lag("v", j).over(
+            __import__("pyspark.sql.window", fromlist=["W"]).Window.partitionBy("k").orderBy("ts")))
+        seq = roll_cor(lagged, "v", "vlag", "k", "ts", 15, min_obs=6, out="c") \
+            .select("k", "ts", "c").toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        a = f[f"acf_{j}"].to_numpy(dtype=float)
+        b = seq["c"].to_numpy(dtype=float)
+        assert np.array_equal(np.isnan(a), np.isnan(b)), f"lag {j} NULL mismatch"
+        assert np.allclose(a, b, equal_nan=True), f"lag {j} value mismatch"
+
+
+def test_acf_plan_two_windows(spark):
+    from roll_spark.operators.moments import roll_acf
+
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    plan = roll_acf(sdf, "v", "k", "ts", 15, lags=(1, 2, 3, 4)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan)) <= 1
+    assert len(re.findall(r"\bSort \[", plan)) <= 1
+    assert len(re.findall(r"\bWindow ", plan)) <= 2
+
+
+def test_percentrank(spark):
+    from roll_spark.operators.moments import roll_percentrank
+
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    res = roll_percentrank(sdf, "v", "k", "ts", 10, min_obs=2, out="pr")
+    got = res.select("k", "ts", "pr").toPandas().sort_values(["k", "ts"])["pr"].to_numpy(dtype=float)
+    base = pdf.sort_values(["k", "ts"])
+    want = np.full(len(base), np.nan)
+    pos = 0
+    for key, g in base.groupby("k"):
+        vals = g["v"].to_numpy()
+        for i in range(len(vals)):
+            win = vals[max(0, i - 9): i + 1]
+            obs = win[~np.isnan(win)]
+            x = vals[i]
+            if not np.isnan(x) and len(obs) >= 2:
+                want[pos + i] = ((obs <= x).sum() - 1) / (len(obs) - 1)
+        pos += len(vals)
+    # base.groupby order == sorted order of k, and want is positioned by
+    # the sorted frame, matching `got`
+    assert np.allclose(got, want, equal_nan=True)

@@ -83,6 +83,10 @@ EXPECT = {
     "ewma_halflife_7d": dict(max_exchange=1),        # Arrow path: one groupBy
     # OHLC bars: ONE partial-agg groupBy, zero sorts, zero windows
     "tier_1h_ohlc": dict(max_exchange=1, max_sort=0, max_window=0),
+    # fused multi-lag ACF: ONE offset WindowExec (all lags) + ONE frame
+    # WindowExec (all lags' moments) — 2k nodes for k sequential calls
+    "roll_acf_w20": dict(max_exchange=1, max_sort=1, max_window=2),
+    "roll_percentrank_w20": dict(max_exchange=1, max_sort=1, max_window=1),
     # CC fixpoint: iterative star contraction — per-round groupBys;
     # lineage is truncated by localCheckpoint so the audited plan has no
     # FileScan (the pair-generation scan is audited via
