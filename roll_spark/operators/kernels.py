@@ -1146,18 +1146,37 @@ def conv_ewma_time(x, t_us, halflife_s, min_obs=1, na_restore=False):
     (observed-mass convention); outputs gate on the EXPANDING observed
     count >= min_obs.
     """
+    out, _ = online_ewma_time(x, t_us, halflife_s, min_obs=min_obs)
+    return _restore(out, np.asarray(x, dtype=np.float64), na_restore)
+
+
+def online_ewma_time(x, t_us, halflife_s, min_obs=1, state=None):
+    """State-carrying form of :func:`conv_ewma_time` for streaming:
+    the carry is THREE numbers — (num, den) valued at the last seen
+    timestamp plus the running observed count — so a live transcript
+    stream folds each micro-batch through the same blocked vectorized
+    scan and resumes exactly where the previous batch left off
+    (tests/test_streaming_rolling.py proves stream ≡ batch).
+
+    Returns ``(out, state)`` with ``state = {num, den, t, n_obs}``
+    (t in SECONDS — float64 holds µs exactly for ~285 years)."""
     _EWMA_MAX_EXPONENT = 40.0
     x = np.asarray(x, dtype=np.float64)
     t = np.asarray(t_us, dtype=np.float64) / 1e6  # seconds
     n = len(x)
     out = np.full(n, np.nan)
-    if n == 0:
-        return out
     lam = np.log(2.0) / float(halflife_s)
+    if state is not None:
+        num_c, den_c, t_c = state["num"], state["den"], state["t"]
+        obs0 = int(state["n_obs"])
+    else:
+        num_c, den_c, t_c = 0.0, 0.0, (t[0] if n else 0.0)
+        obs0 = 0
+    if n == 0:
+        return out, {"num": num_c, "den": den_c, "t": t_c, "n_obs": obs0}
     obs = ~np.isnan(x)
     x0 = np.where(obs, x, 0.0)
-    obs_cum = np.cumsum(obs)
-    num_c, den_c, t_c = 0.0, 0.0, t[0]  # carry state valued at t_c
+    obs_cum = np.cumsum(obs) + obs0
     b0 = 0
     max_span = _EWMA_MAX_EXPONENT / lam
     while b0 < n:
@@ -1175,6 +1194,7 @@ def conv_ewma_time(x, t_us, halflife_s, min_obs=1, na_restore=False):
         with np.errstate(invalid="ignore", divide="ignore"):
             res = np.where(den > 0.0, num / den, np.nan)
         out[b0:b1] = np.where(obs_cum[b0:b1] >= max(min_obs, 1), res, np.nan)
-        num_c, den_c, t_c = num[-1], den[-1], tb[-1]
+        num_c, den_c, t_c = float(num[-1]), float(den[-1]), float(tb[-1])
         b0 = b1
-    return _restore(out, x, na_restore)
+    return out, {"num": num_c, "den": den_c, "t": t_c,
+                 "n_obs": obs0 + int(obs.sum())}

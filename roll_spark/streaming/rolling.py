@@ -43,7 +43,7 @@ from roll_spark.operators import kernels as K
 from roll_spark.operators.base import Cols, _as_list
 
 # op name -> (kernel, state pack/unpack as flat double arrays)
-_OPS = ("mean", "sum", "var", "quantile", "cov")
+_OPS = ("mean", "sum", "var", "quantile", "cov", "ewma")
 
 
 def stream_roll(
@@ -57,6 +57,7 @@ def stream_roll(
     p: float = 0.5,
     y: str | None = None,
     min_obs: int = 1,
+    halflife_s: float | None = None,
     out: str = "roll_out",
 ) -> DataFrame:
     """Rolling ``op`` over a streaming DataFrame, one output row per
@@ -64,12 +65,17 @@ def stream_roll(
 
     op: 'mean' | 'sum' | 'var' (Welford) | 'quantile' (equal-weight
     dual multiset, HF2 emission at ``p``) | 'cov' (bivariate Welford
-    co-moment over ``value`` and ``y``, pairwise-complete).
+    co-moment over ``value`` and ``y``, pairwise-complete) | 'ewma'
+    (time-decay EWMA over the ORDER column's event time at
+    ``halflife_s`` — expanding, so ``width`` is ignored; the carry is
+    three numbers, the cheapest state in the family).
     """
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
     if op == "cov" and y is None:
         raise ValueError("op='cov' needs the second series column y")
+    if op == "ewma" and halflife_s is None:
+        raise ValueError("op='ewma' needs halflife_s")
     by_l = _as_list(by)
     order_l = _as_list(order)
     if len(order_l) != 1:
@@ -112,6 +118,16 @@ def stream_roll(
             yv = batch[y].to_numpy(dtype=np.float64, na_value=np.nan)
             res, kstate = K.online_cov(x, yv, width, min_obs=min_obs,
                                        state=kstate)
+        elif op == "ewma":
+            o = batch[ocol]
+            if str(o.dtype).startswith("datetime64"):
+                t_us = o.astype("int64").to_numpy() // 1000  # ns -> us
+            else:
+                # integer order column: interpreted as epoch MICROSECONDS
+                # (the kernel's native unit; halflife_s stays seconds)
+                t_us = o.to_numpy(dtype=np.int64)
+            res, kstate = K.online_ewma_time(x, t_us, halflife_s,
+                                             min_obs=min_obs, state=kstate)
         else:
             res, kstate = K.online_quantile(x, width, p, min_obs=min_obs,
                                             state=kstate)
@@ -133,6 +149,10 @@ def _pack(op: str, s: dict) -> tuple:
         hist = [float(v) for xy in s["hist"] for v in xy]
         return (hist, [float(s["n_obs"]), float(s["mx"]), float(s["my"]),
                        float(s["C"])], [], [])
+    if op == "ewma":
+        # no trailing window — three carry numbers + the observed count
+        return ([], [float(s["num"]), float(s["den"]), float(s["t"]),
+                     float(s["n_obs"])], [], [])
     hist = [float(v) for v in s["hist"]]
     if op == "mean":
         aux = [float(s["sum_w"]), float(s["sum_x"]), float(s["n_obs"])]
@@ -159,4 +179,7 @@ def _unpack(op: str, hist, aux, lower, upper) -> dict:
     if op == "var":
         return {"n_obs": int(aux[0]), "mean": aux[1], "M2": aux[2],
                 "hist": hist}
+    if op == "ewma":
+        return {"num": aux[0], "den": aux[1], "t": aux[2],
+                "n_obs": int(aux[3])}
     return {"lower": lower, "upper": upper, "hist": hist}

@@ -36,10 +36,11 @@ def ordered_stream_dir(spark, tmp_path_factory):
         lats = np.round(rng.normal(5, 2, N_TURNS), 2)
         lats[rng.random(N_TURNS) < 0.15] = np.nan
         for t in range(N_TURNS):
-            rows.append((f"c{c}", t,
+            rows.append((f"c{c}", t, t * 3_600_000_000,
                          None if np.isnan(vals[t]) else float(vals[t]),
                          None if np.isnan(lats[t]) else float(lats[t])))
-    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text_len", "lat"])
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "ts_us", "text_len", "lat"])
     src = base / "src"
     os.makedirs(src)
     now = time.time()
@@ -60,15 +61,18 @@ def ordered_stream_dir(spark, tmp_path_factory):
     ("var", {}),
     ("quantile", {"p": 0.5}),
     ("cov", {"y": "lat"}),
+    ("ewma", {"halflife_s": 6 * 3600.0}),
 ])
 def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     from roll_spark.streaming.rolling import stream_roll
 
     src, pdf = ordered_stream_dir
     sdf = spark.readStream.schema(
-        "conv_id string, turn_idx long, text_len double, lat double"
+        "conv_id string, turn_idx long, ts_us long, text_len double, lat double"
     ).option("maxFilesPerTrigger", 1).parquet(src)
-    out = stream_roll(sdf, "text_len", "conv_id", "turn_idx", WIDTH,
+    # ewma orders by EVENT TIME (the hourly ts_us column); window ops by turn
+    order_col = "ts_us" if op == "ewma" else "turn_idx"
+    out = stream_roll(sdf, "text_len", "conv_id", order_col, WIDTH,
                       op=op, min_obs=2, out="r", **kw)
     qname = f"roll_{op}"
     q = (out.writeStream.format("memory").queryName(qname)
@@ -77,7 +81,7 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     got = (spark.table(qname).toPandas()
-           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+           .sort_values(["conv_id", order_col]).reset_index(drop=True))
     assert len(got) == N_CONVS * N_TURNS
 
     kernel = {"mean": K.online_mean, "sum": K.online_sum,
@@ -87,6 +91,9 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
         series = sub["text_len"].to_numpy(dtype=np.float64)
         if op == "quantile":
             want = K.conv_quantile(series, WIDTH, 0.5, min_obs=2)
+        elif op == "ewma":
+            t_us = sub["ts_us"].to_numpy(dtype=np.int64)
+            want = K.conv_ewma_time(series, t_us, 6 * 3600.0, min_obs=2)
         elif op == "cov":
             yv = sub["lat"].to_numpy(dtype=np.float64)
             want, _ = K.online_cov(series, yv, WIDTH, min_obs=2)
