@@ -229,3 +229,58 @@ def test_gorilla_v2_roundtrip_property(deltas, data):
     assert np.array_equal(ts, t1) and np.array_equal(ts, t2)
     assert np.array_equal(bits, v1.view(np.uint64))
     assert np.array_equal(bits, v2.view(np.uint64))
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '100')), deadline=None)
+@given(x=SERIES, width=WIDTH, min_obs=st.integers(1, 12))
+def test_mad_matches_naive(x, width, min_obs):
+    got = K.conv_mad(x, width, min_obs=min_obs)
+    for i in range(len(x)):
+        win = x[max(0, i - width + 1): i + 1]
+        obs = win[~np.isnan(win)]
+        if len(obs) >= max(min_obs, 1):
+            m = np.median(obs)
+            want = np.median(np.abs(obs - m))
+            assert np.isclose(got[i], want, rtol=1e-12, atol=0), (i, got[i], want)
+        else:
+            assert np.isnan(got[i]), i
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '100')), deadline=None)
+@given(
+    x=SERIES,
+    halflife=st.sampled_from([1.0, 60.0, 3600.0, 7 * 86400.0]),
+    gap_scale=st.sampled_from([0.001, 1.0, 3600.0, 86400.0]),
+    min_obs=st.integers(1, 5),
+    n_splits=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ewma_time_stream_equals_batch_any_timescale(
+    x, halflife, gap_scale, min_obs, n_splits, seed
+):
+    """The blocked scan must agree with itself under ANY micro-batch
+    split, for halflife/gap combinations spanning 9 orders of magnitude
+    (forcing 1-row blocks through single-block evaluation)."""
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    t = np.cumsum(rng.exponential(gap_scale, n))
+    t_us = np.maximum((t * 1e6).astype(np.int64), 1)
+    t_us = np.cumsum(np.maximum(np.diff(np.concatenate([[0], t_us])), 1))
+    full = K.conv_ewma_time(x, t_us, halflife, min_obs=min_obs)
+    cuts = sorted(set(int(c) for c in rng.integers(0, n + 1, n_splits)) | {0, n})
+    state, parts = None, []
+    for lo, hi in zip(cuts, cuts[1:]):
+        res, state = K.online_ewma_time(
+            x[lo:hi], t_us[lo:hi], halflife, min_obs=min_obs, state=state)
+        parts.append(res)
+    got = np.concatenate(parts) if parts else np.empty(0)
+    assert np.array_equal(np.isnan(got), np.isnan(full))
+    ok = ~np.isnan(full)
+    # batch and stream traverse identical blocks except at cut points;
+    # differences are pure float reassociation at the carry hand-off.
+    # The numerator is a signed sum, so its reassociation error bounds
+    # at ~eps * sum|x_j| e_j; after dividing by den that is an ABSOLUTE
+    # error up to ~eps * max|x| on the ratio (a cancelled numerator has
+    # no relative accuracy to preserve) — hence the scaled atol.
+    scale = float(np.nanmax(np.abs(x))) if ok.any() else 0.0
+    assert np.allclose(got[ok], full[ok], rtol=1e-9, atol=1e-9 * (scale + 1.0))
