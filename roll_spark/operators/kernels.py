@@ -1105,16 +1105,26 @@ def conv_mad(x, width, weights=None, min_obs=None, na_restore=False):
     pad = np.full(width - 1, np.nan)
     xp = np.concatenate([pad, x])
     block = _win_block(width)
-    import warnings
+
+    def _med_rows(sorted_rows, n_obs, rows):
+        # interpolated median of the first n_obs sorted slots per row
+        # (NaNs sort last, so observed values occupy slots [0, n_obs))
+        pos = np.maximum(n_obs, 1)
+        lo = (pos - 1) // 2
+        hi = pos // 2
+        return (sorted_rows[rows, lo] + sorted_rows[rows, hi]) / 2.0
 
     for b0 in range(0, n, block):
         b1 = min(n, b0 + block)
         wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
         n_obs = width - np.isnan(wins).sum(axis=1)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
-            med = np.nanmedian(wins, axis=1)
-            mad = np.nanmedian(np.abs(wins - med[:, None]), axis=1)
+        rows = np.arange(b1 - b0)
+        # two vectorized sorts + gathers — NOT np.nanmedian, whose
+        # NaN-containing multi-dim path degenerates to a per-row python
+        # loop (apply_along_axis)
+        med = _med_rows(np.sort(wins, axis=1), n_obs, rows)
+        dev = np.abs(wins - med[:, None])  # NaN slots stay NaN, sort last
+        mad = _med_rows(np.sort(dev, axis=1), n_obs, rows)
         out[b0:b1] = np.where(n_obs >= max(min_obs, 1), mad, np.nan)
     return _restore(out, x, na_restore)
 

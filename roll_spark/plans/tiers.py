@@ -252,3 +252,40 @@ def ohlc_bars(
         n.alias("n_obs"),
         (F.sum(v) / n).alias("mean_x"),
     )
+
+
+def tier_top_values(
+    df: DataFrame,
+    cat: str,
+    ts: str,
+    by: Cols,
+    tier: str,
+    *,
+    k: int = 1,
+    bucket_out: str = "bucket_ts",
+    out_count: str = "n_events",
+    out_rank: str = "rank",
+) -> DataFrame:
+    """Top-k most frequent values of a categorical column per (series,
+    tier bucket) — heavy-hitters per retention bucket ("which tool /
+    event type dominated this hour"), fully deterministic: ties break
+    to the lexicographically smallest value.
+
+    Plan: one partial-agg groupBy on (series, bucket, value) — the
+    shuffle carries one row per DISTINCT value per bucket, not raw rows
+    — then a row_number window on (series, bucket). The count table is
+    bounded by the category cardinality per bucket, so the rank stage
+    is tiny regardless of raw volume; a 10^9-row hot bucket still
+    reduces map-side first.
+    """
+    from pyspark.sql import Window
+
+    keys = [*_as_list(by), bucket_col(F.col(ts), tier).alias(bucket_out)]
+    counts = df.groupBy(*keys, F.col(cat)).agg(F.count("*").alias(out_count))
+    w = Window.partitionBy(*_as_list(by), bucket_out).orderBy(
+        F.col(out_count).desc(), F.col(cat).asc()
+    )
+    return (
+        counts.withColumn(out_rank, F.row_number().over(w))
+        .filter(F.col(out_rank) <= k)
+    )

@@ -290,3 +290,27 @@ def test_percentrank(spark):
     # base.groupby order == sorted order of k, and want is positioned by
     # the sorted frame, matching `got`
     assert np.allclose(got, want, equal_nan=True)
+
+
+def test_tier_top_values(spark):
+    from roll_spark.plans.tiers import tier_top_values
+
+    rng = np.random.default_rng(SEED + 5)
+    n = 500
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "ts": pd.Timestamp("2024-05-01")
+              + pd.to_timedelta(np.cumsum(rng.exponential(400, n)), unit="s"),
+        "cat": rng.choice(list("abcd"), n),
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = tier_top_values(sdf, "cat", "ts", "k", "1h", k=2).toPandas()
+    base = pdf.copy()
+    base["b"] = base["ts"].dt.floor("h")
+    for (k, b), g in base.groupby(["k", "b"]):
+        cnt = g["cat"].value_counts()
+        # pandas value_counts ties are insertion-ordered; re-rank with
+        # the operator's deterministic (count desc, value asc) order
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        sub = got[(got["k"] == k) & (got["bucket_ts"] == b)].sort_values("rank")
+        assert [(r["cat"], r["n_events"]) for _, r in sub.iterrows()] == ranked

@@ -83,6 +83,12 @@ EXPECT = {
     "ewma_halflife_7d": dict(max_exchange=1),        # Arrow path: one groupBy
     # OHLC bars: ONE partial-agg groupBy, zero sorts, zero windows
     "tier_1h_ohlc": dict(max_exchange=1, max_sort=0, max_window=0),
+    # heavy hitters: partial-agg counts + rank window over the count
+    # table (2nd exchange re-keys (series,bucket,cat)->(series,bucket)).
+    # 2 sorts because Spark pushes a PARTIAL WindowGroupLimit (map-side
+    # top-k with its own local sort) below the exchange — rank pushdown,
+    # strictly better than one post-shuffle sort at scale
+    "tier_1h_top_event": dict(max_exchange=2, max_sort=2, max_window=1),
     # fused multi-lag ACF: ONE offset WindowExec (all lags) + ONE frame
     # WindowExec (all lags' moments) — 2k nodes for k sequential calls
     "roll_acf_w20": dict(max_exchange=1, max_sort=1, max_window=2),
