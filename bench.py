@@ -64,6 +64,7 @@ HEADLINE = [
     "roll_mad_w10",         # robust dispersion (Arrow blocked nanmedian)
     "ewma_halflife_7d",     # time-decay EWMA (blocked rebased-cumsum scan)
     "tier_1h_ohlc",         # OHLC downsample bars (hash-agg, sort-free)
+    "tier_1h_top_event",    # heavy hitters (partial WindowGroupLimit pushdown)
     "winnow_cc_clusters",   # duplicate clustering (large/small-star fixpoint)
     "dedup_exact",
     "doc_lang_trigram",     # text-analysis family (map-only JVM strings)

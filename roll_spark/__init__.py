@@ -27,7 +27,17 @@ from roll_spark.operators.arrow_ops import (
     roll_cov_xy_matrix,
     roll_lm_k,
     roll_lm_multi,
+    roll_mad,
 )
+from roll_spark.operators.moments import (
+    roll_acf,
+    roll_kurt,
+    roll_nunique,
+    roll_percentrank,
+    roll_skew,
+    roll_skew_kurt,
+)
+from roll_spark.operators.time_windows import ewma_time, roll_time
 from roll_spark.operators.window_ops import (
     roll_all,
     roll_any,
@@ -74,6 +84,15 @@ __all__ = [
     "roll_lm_multi",
     "roll_cov_matrix",
     "roll_cov_xy_matrix",
+    "roll_skew",
+    "roll_kurt",
+    "roll_skew_kurt",
+    "roll_acf",
+    "roll_nunique",
+    "roll_percentrank",
+    "roll_mad",
+    "ewma_time",
+    "roll_time",
 ]
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -540,6 +540,7 @@ def connected_components(
         return int(max(1, min(par_cap, n_edges // 200_000 + 1)))
 
     sig = _cc_digest(e)
+    converged = False
     for _ in range(max_iter):
         e = (
             _cc_small_star(_cc_large_star(e))
@@ -548,8 +549,18 @@ def connected_components(
         )
         nsig = _cc_digest(e)
         if nsig == sig:
+            converged = True
             break
         sig = nsig
+    if not converged:
+        # star contraction converges in O(log^2 n) rounds — the default
+        # 30 covers any realizable graph. Exhausting max_iter means
+        # labels could still be moving: refuse to emit silently-partial
+        # clusters (a dedup pipeline would silently under-merge).
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            f"rounds ({sig[0]} edges live); raise max_iter"
+        )
     # fixpoint edges point node -> component min; the min itself has no
     # outgoing edge, so union its self-label back in
     labels = e.select(F.col("u").alias(out_id), F.col("v").alias(out_cluster)).union(
