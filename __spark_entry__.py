@@ -1230,11 +1230,12 @@ def q_roll_acf_w20(spark, sf_dir):
     from roll_spark.operators.moments import roll_acf
 
     df = roll_acf(_events(spark, sf_dir), "value", "user_id", "ts", 20,
-                  lags=(1, 2, 3), min_obs=10)
+                  lags=(1, 2, 3), min_obs=10, out_q="q")
     return df.select("user_id", "ts",
                      _r6(F.col("acf_1")).alias("acf1"),
                      _r6(F.col("acf_2")).alias("acf2"),
-                     _r6(F.col("acf_3")).alias("acf3"))
+                     _r6(F.col("acf_3")).alias("acf3"),
+                     _r6(F.col("q")).alias("lbq20"))
 
 
 def q_roll_percentrank_w20(spark, sf_dir):
@@ -1724,16 +1725,35 @@ def _datapipe_oracles() -> dict[str, str]:
                 lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS l2,
                 lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts) AS l3
               FROM events
+            ), raw AS (
+              SELECT user_id, ts,
+              count(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n0,
+              CASE WHEN count(l1) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) >= 10
+                     AND var_samp(CASE WHEN l1 IS NOT NULL THEN value END)
+                         OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 2.220446049250313e-16
+                     AND var_samp(l1) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 2.220446049250313e-16
+                    THEN corr(value, l1) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS a1,
+              CASE WHEN count(l2) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) >= 10
+                     AND var_samp(CASE WHEN l2 IS NOT NULL THEN value END)
+                         OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 2.220446049250313e-16
+                     AND var_samp(l2) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 2.220446049250313e-16
+                    THEN corr(value, l2) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS a2,
+              CASE WHEN count(l3) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) >= 10
+                     AND var_samp(CASE WHEN l3 IS NOT NULL THEN value END)
+                         OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 2.220446049250313e-16
+                     AND var_samp(l3) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 2.220446049250313e-16
+                    THEN corr(value, l3) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS a3
+              FROM t
             )
             SELECT user_id, ts,
-              {", ".join(
-                f'''ROUND(1e-7 + CASE WHEN count(l{j}) OVER ({_W20}) >= 10
-                     AND var_samp(CASE WHEN l{j} IS NOT NULL THEN value END)
-                         OVER ({_W20}) > 2.220446049250313e-16
-                     AND var_samp(l{j}) OVER ({_W20}) > 2.220446049250313e-16
-                    THEN corr(value, l{j}) OVER ({_W20}) END, 6) AS acf{j}'''
-                for j in (1, 2, 3))}
-            FROM t""",
+              ROUND(1e-7 + a1, 6) AS acf1,
+              ROUND(1e-7 + a2, 6) AS acf2,
+              ROUND(1e-7 + a3, 6) AS acf3,
+              ROUND(1e-7 + CASE WHEN n0 > 3 THEN
+                n0 * (n0 + 2) * (a1*a1/(n0-1) + a2*a2/(n0-2) + a3*a3/(n0-3))
+              END, 6) AS lbq20
+            FROM raw""",
+
         # windowed percent rank: list + lambda count of values <= current
         "roll_percentrank_w20": f"""
             WITH t AS (

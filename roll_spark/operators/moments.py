@@ -211,6 +211,7 @@ def roll_acf(
     min_obs: int | None = None,
     na_restore: bool = False,
     out_prefix: str = "acf_",
+    out_q: str | None = None,
 ) -> DataFrame:
     """Fused rolling autocorrelation function: cor(x_t, x_{t-j}) over the
     trailing width-window for EVERY lag j in ``lags``, in one pass —
@@ -228,6 +229,13 @@ def roll_acf(
     gates (pairwise-complete mask, eps on the centered sums of squares,
     n_obs > 1, min_obs): column j of this fused op is bit-identical to
     the sequential composition (tests/test_moments.py asserts it).
+
+    ``out_q`` additionally emits the Ljung-Box portmanteau statistic
+    Q = n(n+2) * sum_j acf_j^2 / (n - j) over the window (n = the
+    window's observed count) — the standard "is there ANY
+    autocorrelation" test score, a pure projection over the fused
+    columns (zero extra window work); NULL when any acf_j is NULL or
+    n <= max(lags).
     """
     from roll_spark.operators.base import ordered_window
     from roll_spark.operators.window_ops import _spec
@@ -246,6 +254,7 @@ def roll_acf(
         both = v.isNotNull() & y.isNotNull()
         xm, ym = F.when(both, v), F.when(both, y)
         aggs[f"__n{j}"] = F.count(F.when(both, F.lit(1))).over(w)
+        aggs["__n0"] = F.count(v).over(w)
         aggs[f"__cov{j}"] = F.covar_samp(xm, ym).over(w)
         aggs[f"__sdx{j}"] = F.stddev_samp(xm).over(w)
         aggs[f"__sdy{j}"] = F.stddev_samp(ym).over(w)
@@ -266,7 +275,18 @@ def roll_acf(
         ).otherwise(F.lit(1.0))
         outs[f"{out_prefix}{j}"] = gate(spec, restore_ref, stat, n_obs, need_two=True)
         tmps += [f"__lag{j}", f"__n{j}", f"__cov{j}", f"__sdx{j}", f"__sdy{j}"]
-    return df.withColumns(outs).drop(*tmps)
+    df = df.withColumns(outs)
+    if out_q is not None:
+        n0 = F.col("__n0").cast("double")
+        q = None
+        for j in lags:
+            a = F.col(f"{out_prefix}{j}")
+            term = a * a / (n0 - j)
+            q = term if q is None else q + term
+        df = df.withColumn(
+            out_q, F.when(n0 > max(lags), n0 * (n0 + 2) * q)
+        )
+    return df.drop(*tmps, "__n0")
 
 
 @complete_obs_maskable

@@ -314,3 +314,44 @@ def test_tier_top_values(spark):
         ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
         sub = got[(got["k"] == k) & (got["bucket_ts"] == b)].sort_values("rank")
         assert [(r["cat"], r["n_events"]) for _, r in sub.iterrows()] == ranked
+
+
+def test_acf_ljung_box_composition(spark):
+    from roll_spark.operators.moments import roll_acf
+
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    got = roll_acf(sdf, "v", "k", "ts", 15, lags=(1, 2, 3), min_obs=6, out_q="q") \
+        .select("k", "ts", "acf_1", "acf_2", "acf_3", "q") \
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    base = pdf.sort_values(["k", "ts"]).reset_index(drop=True)
+    # recompute n per row (window observed count) and the LB formula
+    n0 = np.zeros(len(base))
+    pos = 0
+    for key, g in base.groupby("k"):
+        vals = g["v"].to_numpy()
+        for i in range(len(vals)):
+            win = vals[max(0, i - 14): i + 1]
+            n0[pos + i] = (~np.isnan(win)).sum()
+        pos += len(vals)
+    a1 = got["acf_1"].to_numpy(dtype=float)
+    a2 = got["acf_2"].to_numpy(dtype=float)
+    a3 = got["acf_3"].to_numpy(dtype=float)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        want = np.where(
+            n0 > 3,
+            n0 * (n0 + 2) * (a1**2 / (n0 - 1) + a2**2 / (n0 - 2) + a3**2 / (n0 - 3)),
+            np.nan,
+        )
+    q = got["q"].to_numpy(dtype=float)
+    assert np.allclose(q, want, equal_nan=True, rtol=1e-12)
+
+
+def test_cc_raises_on_max_iter_exhaustion(spark):
+    from roll_spark.datapipe.dedup import connected_components
+
+    # a descending 40-chain needs several star rounds; max_iter=1 must
+    # refuse rather than emit partially-merged clusters
+    edges = pd.DataFrame([(i + 1, i) for i in range(40, 0, -1)], columns=["da", "db"])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(spark.createDataFrame(edges), "da", "db", max_iter=1)
