@@ -1208,3 +1208,59 @@ def online_ewma_time(x, t_us, halflife_s, min_obs=1, state=None):
         b0 = b1
     return out, {"num": num_c, "den": den_c, "t": t_c,
                  "n_obs": obs0 + int(obs.sum())}
+
+
+def conv_percentrank(x, width, weights=None, min_obs=None, na_restore=False):
+    """Large-width twin of the native roll_percentrank: blocked strided
+    windows, one vectorized <=-comparison per block — fixed memory
+    budget regardless of width (the native collect_list form holds a
+    width-long array per row in JVM heap)."""
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, x])
+    block = _win_block(width)
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
+        cur = x[b0:b1]
+        n_obs = width - np.isnan(wins).sum(axis=1)
+        # NaN <= cur is False, so NaN slots never count
+        le = (wins <= cur[:, None]).sum(axis=1)
+        ok = ~np.isnan(cur) & (n_obs >= max(min_obs, 1)) & (n_obs >= 2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = (le - 1.0) / (n_obs - 1.0)
+        out[b0:b1] = np.where(ok, pr, np.nan)
+    return _restore(out, x, na_restore)
+
+
+def conv_nunique(x, width, weights=None, min_obs=None, na_restore=False):
+    """Large-width twin of the native roll_nunique: sort each window
+    (NaNs last) and count value boundaries among the observed prefix.
+    Weights have no meaning for a cardinality and are rejected."""
+    if weights is not None:
+        raise ValueError("conv_nunique: weighted distinct count is not defined")
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, x])
+    block = _win_block(width)
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
+        sv = np.sort(wins, axis=1)
+        n_obs = width - np.isnan(sv).sum(axis=1)
+        # adjacent-inequality among observed slots; NaN != NaN is True,
+        # so mask the NaN tail explicitly
+        neq = (sv[:, 1:] != sv[:, :-1]) & ~np.isnan(sv[:, 1:])
+        nun = neq.sum(axis=1) + (n_obs > 0)
+        out[b0:b1] = np.where(n_obs >= max(min_obs, 1), nun.astype(np.float64), np.nan)
+    return _restore(out, x, na_restore)

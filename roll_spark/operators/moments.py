@@ -37,7 +37,7 @@ from roll_spark.operators.base import (
     gate,
     rolling_window,
 )
-from roll_spark.operators.window_ops import _spec
+from roll_spark.operators.window_ops import QUANTILE_NATIVE_MAX_WIDTH, _spec
 
 
 def _central_moments(df, value, by, order, width):
@@ -188,11 +188,21 @@ def roll_nunique(
 
     collect_list drops NULLs (matching the engine-wide observed-values
     convention), array_distinct dedups JVM-side — no Python, no extra
-    shuffle beyond the one hash exchange every window op pays.  Width
-    is bounded (window semantics), so the per-row array is bounded; for
-    unbounded distinct counts use a tier aggregation, not a window.
+    shuffle beyond the one hash exchange every window op pays.  The
+    collect_list form holds a width-long array per row in JVM heap, so
+    widths above QUANTILE_NATIVE_MAX_WIDTH route to the blocked Arrow
+    kernel (kernels.conv_nunique), same dispatch rule as roll_quantile.
     """
     spec = _spec(width, min_obs, complete_obs, na_restore, None)
+    if width > QUANTILE_NATIVE_MAX_WIDTH:
+        from roll_spark.operators import kernels as K
+        from roll_spark.operators.arrow_ops import _one
+
+        res = _one(df, value, by, order, spec, K.conv_nunique, out)
+        o = F.col(out)
+        return res.withColumn(
+            out, F.when(o.isNotNull() & ~F.isnan(o), o.cast("int"))
+        )
     w = rolling_window(by, order, width)
     v = F.col(value)
     n_obs = F.count(v).over(w)
@@ -238,7 +248,7 @@ def roll_acf(
     n <= max(lags).
     """
     from roll_spark.operators.base import ordered_window
-    from roll_spark.operators.window_ops import _spec
+    from roll_spark.operators.window_ops import QUANTILE_NATIVE_MAX_WIDTH, _spec
 
     spec = _spec(width, min_obs, True, na_restore, None)
     lags = list(lags)
@@ -308,9 +318,16 @@ def roll_percentrank(
     twin of SQL PERCENT_RANK, which only ranks over unbounded frames).
 
     collect_list + a JVM higher-order filter; NULL when the current
-    value is missing or n_obs < max(min_obs, 2).
+    value is missing or n_obs < max(min_obs, 2). Widths above
+    QUANTILE_NATIVE_MAX_WIDTH route to the blocked Arrow kernel
+    (kernels.conv_percentrank) — fixed memory budget at any width.
     """
     spec = _spec(width, min_obs, complete_obs, na_restore, None)
+    if width > QUANTILE_NATIVE_MAX_WIDTH:
+        from roll_spark.operators import kernels as K
+        from roll_spark.operators.arrow_ops import _one
+
+        return _one(df, value, by, order, spec, K.conv_percentrank, out)
     w = rolling_window(by, order, width)
     v = F.col(value)
     n_obs = F.count(v).over(w)

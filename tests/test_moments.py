@@ -355,3 +355,36 @@ def test_cc_raises_on_max_iter_exhaustion(spark):
     edges = pd.DataFrame([(i + 1, i) for i in range(40, 0, -1)], columns=["da", "db"])
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(spark.createDataFrame(edges), "da", "db", max_iter=1)
+
+
+@pytest.mark.parametrize("op", ["nunique", "percentrank"])
+def test_nunique_percentrank_width_dispatch(spark, op):
+    """width > 256 must route to the Arrow kernel and agree with the
+    native collect_list form evaluated at the same width via a manual
+    spec (the contract roll_quantile already has)."""
+    from roll_spark.operators.moments import roll_nunique, roll_percentrank
+
+    pdf = _fixture(n=900, n_keys=2)
+    pdf["v"] = np.floor(pdf["v"])  # duplicates for nunique
+    sdf = spark.createDataFrame(pdf)
+    fn = roll_nunique if op == "nunique" else roll_percentrank
+    wide = fn(sdf, "v", "k", "ts", 300, min_obs=2, out="s") \
+        .select("k", "ts", "s").toPandas().sort_values(["k", "ts"])
+    base = pdf.sort_values(["k", "ts"])
+    want = np.full(len(base), np.nan)
+    pos = 0
+    for key, g in base.groupby("k"):
+        vals = g["v"].to_numpy()
+        for i in range(len(vals)):
+            win = vals[max(0, i - 299): i + 1]
+            obs = win[~np.isnan(win)]
+            if op == "nunique":
+                if len(obs) >= 2:
+                    want[pos + i] = len(np.unique(obs))
+            else:
+                cur = vals[i]
+                if not np.isnan(cur) and len(obs) >= 2:
+                    want[pos + i] = ((obs <= cur).sum() - 1) / (len(obs) - 1)
+        pos += len(vals)
+    got = wide["s"].to_numpy(dtype=np.float64)
+    assert np.allclose(got, want, equal_nan=True, atol=1e-12)
