@@ -31,6 +31,7 @@ from roll_spark.operators.arrow_ops import (
 )
 from roll_spark.operators.moments import (
     roll_acf,
+    roll_trimmed_mean,
     roll_kurt,
     roll_nunique,
     roll_percentrank,
@@ -91,6 +92,7 @@ __all__ = [
     "roll_nunique",
     "roll_percentrank",
     "roll_mad",
+    "roll_trimmed_mean",
     "ewma_time",
     "roll_time",
 ]

@@ -1264,3 +1264,44 @@ def conv_nunique(x, width, weights=None, min_obs=None, na_restore=False):
         nun = neq.sum(axis=1) + (n_obs > 0)
         out[b0:b1] = np.where(n_obs >= max(min_obs, 1), nun.astype(np.float64), np.nan)
     return _restore(out, x, na_restore)
+
+
+def conv_trimmed_mean(x, width, alpha=0.2, weights=None, min_obs=None,
+                      na_restore=False):
+    """Large-width twin of the native roll_trimmed_mean: sort each
+    window (NaNs last), drop floor(alpha * n_obs) observed values from
+    EACH end, average the rest via one cumsum per block. alpha in
+    [0, 0.5) guarantees at least one surviving value per non-empty
+    window. Weights are rejected (a weighted trimmed mean has no agreed
+    definition)."""
+    if weights is not None:
+        raise ValueError("conv_trimmed_mean: weighted trim is not defined")
+    if not 0.0 <= alpha < 0.5:
+        raise ValueError(f"alpha must be in [0, 0.5), got {alpha}")
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, x])
+    block = _win_block(width)
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
+        sv = np.sort(wins, axis=1)
+        nan_mask = np.isnan(sv)
+        n_obs = width - nan_mask.sum(axis=1)
+        # same float64 product+floor as the Spark/DuckDB sides
+        k = np.floor(alpha * n_obs).astype(np.int64)
+        m = n_obs - 2 * k
+        csum = np.cumsum(np.where(nan_mask, 0.0, sv), axis=1)
+        rows = np.arange(b1 - b0)
+        hi = np.maximum(n_obs - k - 1, 0)
+        lo_sum = np.where(k > 0, csum[rows, np.maximum(k - 1, 0)], 0.0)
+        total = csum[rows, hi] - lo_sum
+        ok = (n_obs >= max(min_obs, 1)) & (m >= 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[b0:b1] = np.where(ok, total / np.maximum(m, 1), np.nan)
+    return _restore(out, x, na_restore)

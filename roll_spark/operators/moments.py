@@ -338,3 +338,54 @@ def roll_percentrank(
         (le - F.lit(1)).cast("double") / (n_obs - F.lit(1)),
     )
     return df.withColumn(out, gate(spec, v, stat, n_obs, need_two=True))
+
+
+@complete_obs_maskable
+def roll_trimmed_mean(
+    df: DataFrame,
+    value: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    alpha: float = 0.2,
+    *,
+    min_obs: int | None = None,
+    complete_obs: bool = False,
+    na_restore: bool = False,
+    out: str = "roll_trimmed_mean",
+) -> DataFrame:
+    """Rolling trimmed mean: drop floor(alpha * n_obs) observed values
+    from EACH end of the sorted window, average the rest — the standard
+    robust location estimate for heavy-tailed telemetry (latency
+    spikes) that roll_mean smears and roll_median over-discards.
+
+    alpha in [0, 0.5): at least one value always survives, so the only
+    NULL gates are min_obs / na_restore. The trim count uses the same
+    float64 ``floor(alpha * n)`` on every path (native, Arrow kernel,
+    DuckDB oracle), so boundary fills agree bit-for-bit.
+
+    Native path (collect_list + array_sort + slice + aggregate, all JVM
+    higher-order functions) holds a width-long array per row, so widths
+    above QUANTILE_NATIVE_MAX_WIDTH dispatch to the blocked Arrow
+    kernel (kernels.conv_trimmed_mean) — the roll_quantile rule.
+    """
+    if not 0.0 <= alpha < 0.5:
+        raise ValueError(f"alpha must be in [0, 0.5), got {alpha}")
+    spec = _spec(width, min_obs, complete_obs, na_restore, None)
+    if width > QUANTILE_NATIVE_MAX_WIDTH:
+        from roll_spark.operators import kernels as K
+        from roll_spark.operators.arrow_ops import _one
+
+        return _one(df, value, by, order, spec, K.conv_trimmed_mean, out,
+                    alpha=alpha)
+    w = rolling_window(by, order, width)
+    v = F.col(value)
+    arr = F.array_sort(F.collect_list(v).over(w))
+    n = F.size(arr)
+    k = F.floor(F.lit(float(alpha)) * n).cast("int")
+    m = n - 2 * k
+    total = F.aggregate(
+        F.slice(arr, k + 1, m), F.lit(0.0), lambda acc, e: acc + e
+    )
+    stat = total / m
+    return df.withColumn(out, gate(spec, v, stat, n))

@@ -388,3 +388,39 @@ def test_nunique_percentrank_width_dispatch(spark, op):
         pos += len(vals)
     got = wide["s"].to_numpy(dtype=np.float64)
     assert np.allclose(got, want, equal_nan=True, atol=1e-12)
+
+
+@pytest.mark.parametrize("width", [8, 300])  # native path and Arrow dispatch
+def test_trimmed_mean(spark, width):
+    from roll_spark.operators.moments import roll_trimmed_mean
+
+    pdf = _fixture(n=700, n_keys=3)
+    sdf = spark.createDataFrame(pdf)
+    got = roll_trimmed_mean(sdf, "v", "k", "ts", width, 0.2, min_obs=2, out="s") \
+        .select("k", "ts", "s").toPandas().sort_values(["k", "ts"])["s"] \
+        .to_numpy(dtype=np.float64)
+    base = pdf.sort_values(["k", "ts"])
+    want = np.full(len(base), np.nan)
+    pos = 0
+    for key, g in base.groupby("k"):
+        vals = g["v"].to_numpy()
+        for i in range(len(vals)):
+            win = vals[max(0, i - width + 1): i + 1]
+            obs = np.sort(win[~np.isnan(win)])
+            n = len(obs)
+            if n >= 2:
+                kk = int(np.floor(0.2 * n))
+                want[pos + i] = obs[kk: n - kk].mean()
+        pos += len(vals)
+    assert np.allclose(got, want, equal_nan=True, rtol=1e-12)
+
+
+def test_trimmed_mean_rejects_bad_alpha(spark):
+    from roll_spark.operators.moments import roll_trimmed_mean
+    from roll_spark.operators.kernels import conv_trimmed_mean
+
+    pdf = _fixture(n=20)
+    with pytest.raises(ValueError, match="alpha"):
+        roll_trimmed_mean(spark.createDataFrame(pdf), "v", "k", "ts", 5, 0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        conv_trimmed_mean(np.arange(5.0), 3, alpha=-0.1)

@@ -93,6 +93,7 @@ EXPECT = {
     # WindowExec (all lags' moments) — 2k nodes for k sequential calls
     "roll_acf_w20": dict(max_exchange=1, max_sort=1, max_window=2),
     "roll_percentrank_w20": dict(max_exchange=1, max_sort=1, max_window=1),
+    "roll_trimmean_w10": dict(max_exchange=1, max_sort=1, max_window=1),
     # CC fixpoint: iterative star contraction — per-round groupBys;
     # lineage is truncated by localCheckpoint so the audited plan has no
     # FileScan (the pair-generation scan is audited via
