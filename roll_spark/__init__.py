@@ -37,6 +37,7 @@ from roll_spark.operators.moments import (
     roll_percentrank,
     roll_skew,
     roll_skew_kurt,
+    roll_spearman,
 )
 from roll_spark.operators.time_windows import ewma_time, roll_time
 from roll_spark.operators.window_ops import (
@@ -93,6 +94,7 @@ __all__ = [
     "roll_percentrank",
     "roll_mad",
     "roll_trimmed_mean",
+    "roll_spearman",
     "ewma_time",
     "roll_time",
 ]

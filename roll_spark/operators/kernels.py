@@ -1305,3 +1305,82 @@ def conv_trimmed_mean(x, width, alpha=0.2, weights=None, min_obs=None,
         with np.errstate(invalid="ignore", divide="ignore"):
             out[b0:b1] = np.where(ok, total / np.maximum(m, 1), np.nan)
     return _restore(out, x, na_restore)
+
+
+def _midranks_block(wins):
+    """(m, w) values (NaN = excluded) -> (m, w) average (mid) ranks
+    among each row's observed values; NaN slots get NaN. Fully
+    vectorized: one argsort per row plus ONE global np.add.reduceat
+    over the row-flattened sorted values (tie groups never cross row
+    boundaries because row starts are forced group starts)."""
+    m, w = wins.shape
+    order = np.argsort(wins, axis=1, kind="stable")  # NaNs sort last
+    sv = np.take_along_axis(wins, order, axis=1)
+    nan_mask = np.isnan(sv)
+    n_obs = w - nan_mask.sum(axis=1)
+    pos = np.broadcast_to(
+        np.arange(1, w + 1, dtype=np.float64), (m, w)
+    ).ravel()
+    flat = sv.ravel()
+    start = np.ones(m * w, dtype=bool)
+    start[1:] = flat[1:] != flat[:-1]  # NaN != NaN => each NaN own group
+    start[::w] = True                   # never merge across rows
+    idx = np.flatnonzero(start)
+    sums = np.add.reduceat(pos, idx)
+    counts = np.diff(np.append(idx, m * w))
+    gid = np.cumsum(start) - 1
+    ranks_sorted = (sums / counts)[gid].reshape(m, w)
+    ranks_sorted[nan_mask] = np.nan
+    ranks = np.empty_like(ranks_sorted)
+    np.put_along_axis(ranks, order, ranks_sorted, axis=1)
+    return ranks, n_obs
+
+
+def conv_spearman(x, y, width, weights=None, min_obs=None, na_restore=False):
+    """Rolling Spearman rank correlation (pairwise-complete, exact
+    average-rank ties): Pearson over the windows' mid-ranks, centered
+    two-pass so a tie-degenerate window (zero rank variance) yields an
+    EXACT zero sum of squares — mid-ranks are half-integers, their sums
+    are exact in float64, and IEEE division returns the representable
+    mean exactly, so the ssx > 0 gate branches identically on the
+    kernel, native-HOF, and DuckDB-oracle paths. Weighted rank
+    correlation has no agreed definition; weights are rejected."""
+    if weights is not None:
+        raise ValueError("conv_spearman: weighted rank correlation undefined")
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    ok = ~np.isnan(x) & ~np.isnan(y)
+    xm = np.where(ok, x, np.nan)
+    ym = np.where(ok, y, np.nan)
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, xm])
+    yp = np.concatenate([pad, ym])
+    block = _win_block(width)
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        wx = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
+        wy = np.lib.stride_tricks.sliding_window_view(yp[b0 : b1 + width - 1], width)
+        rx, n_obs = _midranks_block(wx)
+        ry, _ = _midranks_block(wy)
+        pos = np.maximum(n_obs, 1)
+        rx0 = np.nan_to_num(rx)
+        ry0 = np.nan_to_num(ry)
+        mrx = rx0.sum(axis=1) / pos
+        mry = ry0.sum(axis=1) / pos
+        obs = ~np.isnan(rx)
+        dx = np.where(obs, rx0 - mrx[:, None], 0.0)
+        dy = np.where(obs, ry0 - mry[:, None], 0.0)
+        ssx = (dx * dx).sum(axis=1)
+        ssy = (dy * dy).sum(axis=1)
+        sxy = (dx * dy).sum(axis=1)
+        gate_ok = (n_obs >= max(min_obs, 1)) & (n_obs >= 2) & (ssx > 0) & (ssy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[b0:b1] = np.where(gate_ok, sxy / np.sqrt(ssx * ssy), np.nan)
+    # na_restore reference: a row with EITHER input missing restores NaN
+    ref = np.where(ok, 1.0, np.nan)
+    return _restore(out, ref, na_restore)

@@ -389,3 +389,95 @@ def roll_trimmed_mean(
     )
     stat = total / m
     return df.withColumn(out, gate(spec, v, stat, n))
+
+
+SPEARMAN_NATIVE_MAX_WIDTH = 64  # O(w^2) HOF rank counts per row
+
+
+def roll_spearman(
+    df: DataFrame,
+    x: str,
+    y: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    *,
+    min_obs: int | None = None,
+    na_restore: bool = False,
+    out: str = "roll_spearman",
+) -> DataFrame:
+    """Rolling Spearman rank correlation (pairwise-complete, exact
+    average-rank ties) — the robust twin of roll_cor: invariant to any
+    monotone transform of either series, which is what heavy-tailed
+    transcript telemetry (latency vs length) actually calls for.
+
+    Mid-rank of e among window values v: (#{v<e} + #{v<=e} + 1)/2, then
+    Pearson over the ranks with centered two-pass sums — mid-ranks are
+    half-integers so their sums are EXACT in float64 and a
+    tie-degenerate window hits the ssx > 0 gate identically on every
+    path (native HOF, Arrow kernel, DuckDB oracle).
+
+    Native path builds paired rank arrays with JVM higher-order
+    functions: O(w^2) comparisons per row, so widths above
+    SPEARMAN_NATIVE_MAX_WIDTH dispatch to the Arrow kernel
+    (kernels.conv_spearman: one argsort + one global reduceat per
+    block, O(w log w) per row). Each array stage is materialized as its
+    own projected column — inlining them re-evaluates the producing
+    expression per element (O(w^3)/row; CollapseProject only spares
+    multi-referenced aliases it deems non-cheap).
+    """
+    spec = _spec(width, min_obs, True, na_restore, None)
+    if width > SPEARMAN_NATIVE_MAX_WIDTH:
+        from roll_spark.operators import kernels as K
+        from roll_spark.operators.arrow_ops import _two
+
+        return _two(df, x, y, by, order, spec, K.conv_spearman, out)
+    w = rolling_window(by, order, width)
+    xv, yv = F.col(x), F.col(y)
+    both = xv.isNotNull() & yv.isNotNull()
+    df = df.withColumn(
+        "__sp_pairs",
+        F.collect_list(F.when(both, F.struct(xv.alias("a"), yv.alias("b")))).over(w),
+    )
+    pairs = F.col("__sp_pairs")
+    n = F.size(pairs)
+
+    def _ranks(field):
+        return F.transform(
+            pairs,
+            lambda p: (
+                F.size(F.filter(pairs, lambda q: q[field] < p[field]))
+                + F.size(F.filter(pairs, lambda q: q[field] <= p[field]))
+                + F.lit(1)
+            ).cast("double")
+            / F.lit(2.0),
+        )
+
+    df = df.withColumn("__sp_rx", _ranks("a")).withColumn("__sp_ry", _ranks("b"))
+    rx, ry = F.col("__sp_rx"), F.col("__sp_ry")
+    zero = F.lit(0.0)
+    # n can be 0 (no complete pair in the window): guard the division —
+    # ANSI mode makes x/0 a runtime error, and these are unconditional
+    # projections (the CASE gate only protects the final stat)
+    df = df.withColumn(
+        "__sp_mrx", F.when(n > 0, F.aggregate(rx, zero, lambda acc, e: acc + e) / n)
+    ).withColumn(
+        "__sp_mry", F.when(n > 0, F.aggregate(ry, zero, lambda acc, e: acc + e) / n)
+    )
+    mrx, mry = F.col("__sp_mrx"), F.col("__sp_mry")
+    ssx = F.aggregate(rx, zero, lambda acc, e: acc + (e - mrx) * (e - mrx))
+    ssy = F.aggregate(ry, zero, lambda acc, e: acc + (e - mry) * (e - mry))
+    sxy = F.aggregate(
+        F.zip_with(rx, ry, lambda a, b: (a - mrx) * (b - mry)),
+        zero,
+        lambda acc, e: acc + e,
+    )
+    df = df.withColumns({"__sp_ssx": ssx, "__sp_ssy": ssy, "__sp_sxy": sxy})
+    stat = F.when(
+        (F.col("__sp_ssx") > 0) & (F.col("__sp_ssy") > 0),
+        F.col("__sp_sxy") / F.sqrt(F.col("__sp_ssx") * F.col("__sp_ssy")),
+    )
+    restore_ref = F.when(xv.isNull() | yv.isNull(), F.lit(None)).otherwise(F.lit(1.0))
+    res = df.withColumn(out, gate(spec, restore_ref, stat, n, need_two=True))
+    return res.drop("__sp_pairs", "__sp_rx", "__sp_ry", "__sp_mrx", "__sp_mry",
+                    "__sp_ssx", "__sp_ssy", "__sp_sxy")

@@ -424,3 +424,43 @@ def test_trimmed_mean_rejects_bad_alpha(spark):
         roll_trimmed_mean(spark.createDataFrame(pdf), "v", "k", "ts", 5, 0.5)
     with pytest.raises(ValueError, match="alpha"):
         conv_trimmed_mean(np.arange(5.0), 3, alpha=-0.1)
+
+
+@pytest.mark.parametrize("width", [9, 120])  # native HOF path / Arrow kernel
+def test_spearman_both_paths(spark, width):
+    from roll_spark.operators.kernels import conv_spearman
+    from roll_spark.operators.moments import roll_spearman
+
+    pdf = _fixture(n=500, n_keys=3)
+    pdf["v"] = np.floor(pdf["v"] / 5)  # heavy ties
+    rng = np.random.default_rng(SEED + 9)
+    pdf["u"] = np.floor(rng.uniform(0, 20, len(pdf)))
+    pdf.loc[rng.random(len(pdf)) < 0.1, "u"] = np.nan
+    sdf = spark.createDataFrame(pdf)
+    got = roll_spearman(sdf, "v", "u", "k", "ts", width, min_obs=3, out="s") \
+        .select("k", "ts", "s").toPandas().sort_values(["k", "ts"])
+    base = pdf.sort_values(["k", "ts"])
+    for key, g in base.groupby("k"):
+        want = conv_spearman(g["v"].to_numpy(dtype=float),
+                             g["u"].to_numpy(dtype=float), width, min_obs=3)
+        sub = got[got["k"] == key]["s"].to_numpy(dtype=np.float64)
+        assert np.array_equal(np.isnan(sub), np.isnan(want)), (width, key)
+        assert np.allclose(sub, want, equal_nan=True, rtol=1e-12), (width, key)
+
+
+def test_spearman_monotone_invariance(spark):
+    """Spearman must be invariant to monotone transforms (the point of
+    ranks): cor(x, y) == cor(exp(x), y^3-ish monotone map)."""
+    from roll_spark.operators.moments import roll_spearman
+
+    pdf = _fixture(n=300, n_keys=2).dropna(subset=["v"]).reset_index(drop=True)
+    pdf["u"] = pdf["v"].to_numpy()[::-1].copy()
+    sdf = spark.createDataFrame(pdf)
+    a = roll_spearman(sdf, "v", "u", "k", "ts", 12, min_obs=4, out="s") \
+        .select("k", "ts", "s").toPandas().sort_values(["k", "ts"])["s"].to_numpy(dtype=float)
+    from pyspark.sql import functions as SF
+    sdf2 = sdf.withColumn("v", SF.exp(SF.col("v") / 20)) \
+              .withColumn("u", SF.col("u") * SF.col("u") * SF.col("u"))
+    b = roll_spearman(sdf2, "v", "u", "k", "ts", 12, min_obs=4, out="s") \
+        .select("k", "ts", "s").toPandas().sort_values(["k", "ts"])["s"].to_numpy(dtype=float)
+    assert np.allclose(a, b, equal_nan=True, atol=1e-9)
