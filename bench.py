@@ -61,7 +61,9 @@ HEADLINE = [
     "session_stats_1h",     # sessionization + per-session agg
     "roll_skew_kurt_w20",   # fused higher-moment family (2-WindowExec native)
     "roll_acf_w20",         # fused multi-lag autocorrelation (2-WindowExec)
-    "roll_mad_w10",         # robust dispersion (Arrow blocked nanmedian)
+    "roll_mad_w10",         # robust dispersion (Arrow blocked strided sorts)
+    "roll_trimmean_w10",    # robust location (JVM HOF slice+aggregate)
+    "roll_spearman_w10",    # robust correlation (JVM HOF mid-ranks)
     "ewma_halflife_7d",     # time-decay EWMA (blocked rebased-cumsum scan)
     "tier_1h_ohlc",         # OHLC downsample bars (hash-agg, sort-free)
     "tier_1h_top_event",    # heavy hitters (partial WindowGroupLimit pushdown)
