@@ -1296,11 +1296,13 @@ def conv_trimmed_mean(x, width, alpha=0.2, weights=None, min_obs=None,
         # same float64 product+floor as the Spark/DuckDB sides
         k = np.floor(alpha * n_obs).astype(np.int64)
         m = n_obs - 2 * k
-        csum = np.cumsum(np.where(nan_mask, 0.0, sv), axis=1)
-        rows = np.arange(b1 - b0)
-        hi = np.maximum(n_obs - k - 1, 0)
-        lo_sum = np.where(k > 0, csum[rows, np.maximum(k - 1, 0)], 0.0)
-        total = csum[rows, hi] - lo_sum
+        # sum the kept slice DIRECTLY via a position mask — a
+        # cumsum-difference here cancels catastrophically when the
+        # trimmed-away extremes dwarf the kept values (the whole point
+        # of trimming is that they often do)
+        pos = np.arange(width)
+        keep = (pos >= k[:, None]) & (pos < (n_obs - k)[:, None]) & ~nan_mask
+        total = np.where(keep, sv, 0.0).sum(axis=1)
         ok = (n_obs >= max(min_obs, 1)) & (m >= 1)
         with np.errstate(invalid="ignore", divide="ignore"):
             out[b0:b1] = np.where(ok, total / np.maximum(m, 1), np.nan)

@@ -464,3 +464,22 @@ def test_spearman_monotone_invariance(spark):
     b = roll_spearman(sdf2, "v", "u", "k", "ts", 12, min_obs=4, out="s") \
         .select("k", "ts", "s").toPandas().sort_values(["k", "ts"])["s"].to_numpy(dtype=float)
     assert np.allclose(a, b, equal_nan=True, atol=1e-9)
+
+
+def test_skew_kurt_match_pandas(spark):
+    """Independent cross-oracle: pandas .rolling().skew()/.kurt() use
+    the same bias-corrected G1/G2 forms."""
+    pdf = _fixture(n=300, n_keys=2)
+    sdf = spark.createDataFrame(pdf)
+    got = roll_skew_kurt(sdf, "v", "k", "ts", 12, min_obs=4,
+                         out_skew="sk", out_kurt="ku") \
+        .select("k", "ts", "sk", "ku").toPandas().sort_values(["k", "ts"])
+    base = pdf.sort_values(["k", "ts"])
+    want_sk = base.groupby("k")["v"].apply(
+        lambda s: s.rolling(12, min_periods=4).skew()).to_numpy()
+    want_ku = base.groupby("k")["v"].apply(
+        lambda s: s.rolling(12, min_periods=4).kurt()).to_numpy()
+    assert np.allclose(got["sk"].to_numpy(dtype=float), want_sk,
+                       equal_nan=True, atol=1e-8)
+    assert np.allclose(got["ku"].to_numpy(dtype=float), want_ku,
+                       equal_nan=True, atol=1e-8)

@@ -284,3 +284,52 @@ def test_ewma_time_stream_equals_batch_any_timescale(
     # no relative accuracy to preserve) — hence the scaled atol.
     scale = float(np.nanmax(np.abs(x))) if ok.any() else 0.0
     assert np.allclose(got[ok], full[ok], rtol=1e-9, atol=1e-9 * (scale + 1.0))
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '100')), deadline=None)
+@given(x=SERIES, width=WIDTH, min_obs=st.integers(1, 12),
+       alpha=st.sampled_from([0.0, 0.1, 0.2, 0.25, 0.4, 0.49]))
+def test_trimmed_mean_matches_naive(x, width, min_obs, alpha):
+    got = K.conv_trimmed_mean(x, width, alpha=alpha, min_obs=min_obs)
+    for i in range(len(x)):
+        win = x[max(0, i - width + 1): i + 1]
+        obs = np.sort(win[~np.isnan(win)])
+        n = len(obs)
+        if n >= max(min_obs, 1):
+            k = int(np.floor(alpha * n))
+            want = obs[k: n - k].mean()
+            assert np.isclose(got[i], want, rtol=1e-12, atol=0), (i, got[i], want)
+        else:
+            assert np.isnan(got[i]), i
+
+
+@settings(max_examples=int(os.environ.get('HYP_EXAMPLES', '60')), deadline=None)
+@given(x=SERIES, width=WIDTH, min_obs=st.integers(1, 8), seed=st.integers(0, 2**31 - 1),
+       ties=st.booleans())
+def test_spearman_matches_naive(x, width, min_obs, seed, ties):
+    rng = np.random.default_rng(seed)
+    y = rng.normal(size=len(x))
+    if ties:  # quantize both to force heavy tie structure
+        x = np.floor(x / 10) * 10
+        y = np.floor(y * 2) / 2
+    y[rng.random(len(x)) < 0.2] = np.nan
+    got = K.conv_spearman(x, y, width, min_obs=min_obs)
+
+    def midrank(v):
+        return np.array([((v < e).sum() + (v <= e).sum() + 1) / 2 for e in v])
+
+    for i in range(len(x)):
+        sl = slice(max(0, i - width + 1), i + 1)
+        xs, ys = x[sl], y[sl]
+        ok = ~np.isnan(xs) & ~np.isnan(ys)
+        xs, ys = xs[ok], ys[ok]
+        want = np.nan
+        if len(xs) >= max(min_obs, 2):
+            rx, ry = midrank(xs), midrank(ys)
+            dx, dy = rx - rx.mean(), ry - ry.mean()
+            ssx, ssy = (dx ** 2).sum(), (dy ** 2).sum()
+            if ssx > 0 and ssy > 0:
+                want = (dx * dy).sum() / np.sqrt(ssx * ssy)
+        g = got[i]
+        assert (np.isnan(g) and np.isnan(want)) or np.isclose(g, want, rtol=1e-10), (
+            i, g, want)
