@@ -1150,9 +1150,10 @@ def q_roll_skew_kurt_w20(spark, sf_dir):
     from roll_spark.operators.moments import roll_skew_kurt
 
     df = roll_skew_kurt(_events(spark, sf_dir), "value", "user_id", "ts", 20,
-                        min_obs=10, out_skew="sk", out_kurt="ku")
+                        min_obs=10, out_skew="sk", out_kurt="ku", out_jb="jb")
     return df.select("user_id", "ts", _r6(F.col("sk")).alias("skew20"),
-                     _r6(F.col("ku")).alias("kurt20"))
+                     _r6(F.col("ku")).alias("kurt20"),
+                     _r6(F.col("jb")).alias("jb20"))
 
 
 def q_roll_mad_w10(spark, sf_dir):
@@ -1701,12 +1702,36 @@ def _datapipe_oracles() -> dict[str, str]:
         # bias-corrected G1/G2 sample forms the engine computes (verified
         # to 1e-13 against the closed forms); min_obs gate on the frame count
         "roll_skew_kurt_w20": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     value - avg(value) OVER (PARTITION BY user_id) AS d
+              FROM events
+            ), sums AS (
+              SELECT user_id, ts, value,
+                CAST(count(d) OVER ({_W20}) AS DOUBLE) AS n,
+                sum(d) OVER ({_W20}) AS s1,
+                sum(d*d) OVER ({_W20}) AS s2,
+                sum(d*d*d) OVER ({_W20}) AS s3,
+                sum(d*d*d*d) OVER ({_W20}) AS s4
+              FROM t
+            ), mom AS (
+              SELECT user_id, ts, value, n,
+                s2 - s1*s1/n AS m2,
+                s3 - 3*(s1/n)*s2 + 2*n*(s1/n)*(s1/n)*(s1/n) AS m3,
+                s4 - 4*(s1/n)*s3 + 6*(s1/n)*(s1/n)*s2
+                   - 3*n*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+              FROM sums
+            )
             SELECT user_id, ts,
-              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W20}) >= 10
+              ROUND(1e-7 + CASE WHEN n >= 10
                     THEN skewness(value) OVER ({_W20}) END, 6) AS skew20,
-              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W20}) >= 10
-                    THEN kurtosis(value) OVER ({_W20}) END, 6) AS kurt20
-            FROM events""",
+              ROUND(1e-7 + CASE WHEN n >= 10
+                    THEN kurtosis(value) OVER ({_W20}) END, 6) AS kurt20,
+              ROUND(1e-7 + CASE WHEN n >= 10 AND m2 > 2.220446049250313e-16
+                    THEN n / 6 * ((m3*sqrt(n)/m2^1.5) * (m3*sqrt(n)/m2^1.5)
+                         + (n*m4/(m2*m2) - 3) * (n*m4/(m2*m2) - 3) / 4)
+              END, 6) AS jb20
+            FROM mom""",
         # DuckDB mad() = median(|x - median|), interpolated median — the
         # exact contract of kernels.conv_mad
         "roll_mad_w10": f"""

@@ -150,10 +150,17 @@ def roll_skew_kurt(
     na_restore: bool = False,
     out_skew: str = "roll_skew",
     out_kurt: str = "roll_kurt",
+    out_jb: str | None = None,
 ) -> DataFrame:
     """Fused skew + kurt: the central-moment sweep runs once and both
     stats read from the same __m2/__m3/__m4 columns — still one
-    Exchange + Sort + 2 WindowExec, vs 2x everything for two calls."""
+    Exchange + Sort + 2 WindowExec, vs 2x everything for two calls.
+
+    ``out_jb`` additionally emits the Jarque-Bera normality statistic
+    JB = n/6 * (g1^2 + g2^2/4) over the window (g1/g2 the UNcorrected
+    sample moments, the standard JB definition) — a free projection
+    over the same central-moment columns; NULL under the kurtosis
+    gates (n < 4 or zero variance)."""
     spec = _spec(width, min_obs, complete_obs, na_restore, None)
     df = _central_moments(df, value, by, order, width)
     n, m2, m3, m4 = (F.col(c) for c in ("__n", "__m2", "__m3", "__m4"))
@@ -166,9 +173,14 @@ def roll_skew_kurt(
         (n >= 4) & (m2 > F.lit(EPS)),
         ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)),
     )
-    return df.withColumns(
-        {out_skew: gate(spec, v, skew, n_obs), out_kurt: gate(spec, v, kurt, n_obs)}
-    ).drop(*_MOM_TMP)
+    outs = {out_skew: gate(spec, v, skew, n_obs), out_kurt: gate(spec, v, kurt, n_obs)}
+    if out_jb is not None:
+        jb = F.when(
+            (n >= 4) & (m2 > F.lit(EPS)),
+            n / 6 * (g1 * g1 + g2 * g2 / 4),
+        )
+        outs[out_jb] = gate(spec, v, jb, n_obs)
+    return df.withColumns(outs).drop(*_MOM_TMP)
 
 
 @complete_obs_maskable

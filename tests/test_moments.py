@@ -483,3 +483,31 @@ def test_skew_kurt_match_pandas(spark):
                        equal_nan=True, atol=1e-8)
     assert np.allclose(got["ku"].to_numpy(dtype=float), want_ku,
                        equal_nan=True, atol=1e-8)
+
+
+def test_jarque_bera_composition(spark):
+    """JB = n/6 (g1^2 + g2^2/4) from the UNcorrected moments — verify
+    against a brute per-window recomputation."""
+    pdf = _fixture()
+    sdf = spark.createDataFrame(pdf)
+    got = roll_skew_kurt(sdf, "v", "k", "ts", 12, min_obs=4, out_jb="jb") \
+        .select("k", "ts", "jb").toPandas().sort_values(["k", "ts"])["jb"] \
+        .to_numpy(dtype=np.float64)
+    base = pdf.sort_values(["k", "ts"])
+    want = np.full(len(base), np.nan)
+    pos = 0
+    for key, g in base.groupby("k"):
+        vals = g["v"].to_numpy()
+        for i in range(len(vals)):
+            win = vals[max(0, i - 11): i + 1]
+            obs = win[~np.isnan(win)]
+            n = len(obs)
+            if n >= 4:
+                m = obs.mean()
+                M2 = ((obs - m) ** 2).sum()
+                if M2 > 1e-12:
+                    g1 = ((obs - m) ** 3).sum() * np.sqrt(n) / M2 ** 1.5
+                    g2 = n * ((obs - m) ** 4).sum() / M2 ** 2 - 3
+                    want[pos + i] = n / 6 * (g1 ** 2 + g2 ** 2 / 4)
+        pos += len(vals)
+    assert np.allclose(got, want, equal_nan=True, atol=1e-7)
