@@ -31,6 +31,7 @@ from roll_spark.operators.arrow_ops import (
 )
 from roll_spark.operators.moments import (
     roll_acf,
+    roll_entropy,
     roll_trimmed_mean,
     roll_kurt,
     roll_nunique,
@@ -95,6 +96,7 @@ __all__ = [
     "roll_mad",
     "roll_trimmed_mean",
     "roll_spearman",
+    "roll_entropy",
     "ewma_time",
     "roll_time",
 ]

@@ -1386,3 +1386,48 @@ def conv_spearman(x, y, width, weights=None, min_obs=None, na_restore=False):
     # na_restore reference: a row with EITHER input missing restores NaN
     ref = np.where(ok, 1.0, np.nan)
     return _restore(out, ref, na_restore)
+
+
+def conv_entropy(codes, width, weights=None, min_obs=None, na_restore=False):
+    """Rolling empirical Shannon entropy (natural log) of the EXACT
+    values in each trailing window: H = -sum_v (c_v/n) ln(c_v/n).
+
+    Takes integer category codes as float64 (NaN = missing) — the
+    Spark wrapper factorizes strings batch-side. Identity used for
+    vectorization: summing ln(c(e)/n) once PER ELEMENT e equals
+    summing c_v ln(c_v/n) per distinct value, so per-slot counts from
+    the midrank-style sorted-run machinery (one argsort + one global
+    reduceat) give H in O(w log w) per row. Weights rejected (weighted
+    entropy has no agreed definition here)."""
+    if weights is not None:
+        raise ValueError("conv_entropy: weighted entropy is not defined")
+    min_obs = width if min_obs is None else min_obs
+    x = np.asarray(codes, dtype=np.float64)
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    pad = np.full(width - 1, np.nan)
+    xp = np.concatenate([pad, x])
+    block = _win_block(width)
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        wins = np.lib.stride_tricks.sliding_window_view(xp[b0 : b1 + width - 1], width)
+        m, w = wins.shape
+        sv = np.sort(wins, axis=1)
+        nan_mask = np.isnan(sv)
+        n_obs = w - nan_mask.sum(axis=1)
+        flat = sv.ravel()
+        start = np.ones(m * w, dtype=bool)
+        start[1:] = flat[1:] != flat[:-1]
+        start[::w] = True
+        idx = np.flatnonzero(start)
+        counts = np.diff(np.append(idx, m * w)).astype(np.float64)
+        gid = np.cumsum(start) - 1
+        c_slot = counts[gid].reshape(m, w)
+        pos = np.maximum(n_obs, 1).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            terms = np.where(nan_mask, 0.0, np.log(c_slot / pos[:, None]))
+            h = -terms.sum(axis=1) / pos
+        out[b0:b1] = np.where(n_obs >= max(min_obs, 1), h, np.nan)
+    return out

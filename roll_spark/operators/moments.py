@@ -493,3 +493,66 @@ def roll_spearman(
     res = df.withColumn(out, gate(spec, restore_ref, stat, n, need_two=True))
     return res.drop("__sp_pairs", "__sp_rx", "__sp_ry", "__sp_mrx", "__sp_mry",
                     "__sp_ssx", "__sp_ssy", "__sp_sxy")
+
+
+ENTROPY_NATIVE_MAX_WIDTH = 64  # O(w^2) HOF equality counts per row
+
+
+def roll_entropy(
+    df: DataFrame,
+    value: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    *,
+    min_obs: int | None = None,
+    na_restore: bool = False,
+    out: str = "roll_entropy",
+) -> DataFrame:
+    """Rolling empirical Shannon entropy (natural log) of the exact
+    values in the trailing window — the behavioral-diversity signal for
+    transcript streams: an agent stuck re-issuing the same tool call
+    drives the entropy of its event/tool types toward 0, while varied
+    behavior approaches ln(#distinct).
+
+    Works on ANY orderable column type (strings included): the native
+    path counts equal values with JVM higher-order functions,
+    H = -(1/n) * sum_e ln(#{v == e} / n) (summing per ELEMENT equals
+    the per-distinct-value form). Widths above
+    ENTROPY_NATIVE_MAX_WIDTH dispatch to the Arrow kernel
+    (kernels.conv_entropy) with a pandas factorize per batch.
+    """
+    spec = _spec(width, min_obs, False, na_restore, None)
+    if width > ENTROPY_NATIVE_MAX_WIDTH:
+        from roll_spark.operators import kernels as K
+        from roll_spark.operators.arrow_ops import _apply_kernel
+
+        def kernel(pdf):
+            import pandas as pd
+
+            codes, _ = pd.factorize(pdf[value], use_na_sentinel=True)
+            x = codes.astype("float64")
+            x[codes < 0] = float("nan")
+            return {out: K.conv_entropy(x, width,
+                                        min_obs=spec.effective_min_obs,
+                                        na_restore=na_restore)}
+
+        return _apply_kernel(df, [value], by, order, [(out, "double")],
+                             kernel, spec=spec)
+    w = rolling_window(by, order, width)
+    v = F.col(value)
+    df = df.withColumn("__ent_l", F.collect_list(v).over(w))
+    l = F.col("__ent_l")
+    n = F.size(l)
+    terms = F.transform(
+        l,
+        lambda e: F.log(
+            F.size(F.filter(l, lambda q: q == e)).cast("double") / n
+        ),
+    )
+    h = F.when(
+        n > 0,
+        -F.aggregate(terms, F.lit(0.0), lambda acc, e: acc + e) / n,
+    )
+    n_obs = F.count(v).over(w)
+    return df.withColumn(out, gate(spec, v, h, n_obs)).drop("__ent_l")

@@ -511,3 +511,51 @@ def test_jarque_bera_composition(spark):
                     want[pos + i] = n / 6 * (g1 ** 2 + g2 ** 2 / 4)
         pos += len(vals)
     assert np.allclose(got, want, equal_nan=True, atol=1e-7)
+
+
+@pytest.mark.parametrize("width", [12, 120])  # native HOF / Arrow factorize
+def test_entropy_both_paths(spark, width):
+    from roll_spark.operators.kernels import conv_entropy
+    from roll_spark.operators.moments import roll_entropy
+
+    rng = np.random.default_rng(SEED + 11)
+    n = 500
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 3, n),
+        "ts": pd.Timestamp("2024-06-01")
+              + pd.to_timedelta(np.cumsum(rng.exponential(60, n)), unit="s"),
+        "cat": rng.choice(["click", "view", "buy", "scroll"], n,
+                          p=[0.5, 0.3, 0.1, 0.1]),
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = roll_entropy(sdf, "cat", "k", "ts", width, min_obs=2, out="h") \
+        .select("k", "ts", "h").toPandas().sort_values(["k", "ts"])["h"] \
+        .to_numpy(dtype=np.float64)
+    base = pdf.sort_values(["k", "ts"])
+    want = np.full(len(base), np.nan)
+    pos = 0
+    for key, g in base.groupby("k"):
+        vals = g["cat"].to_numpy()
+        for i in range(len(vals)):
+            win = vals[max(0, i - width + 1): i + 1]
+            if len(win) >= 2:
+                _, c = np.unique(win, return_counts=True)
+                p = c / len(win)
+                want[pos + i] = -(p * np.log(p)).sum()
+        pos += len(vals)
+    assert np.allclose(got, want, equal_nan=True, rtol=1e-10)
+
+
+def test_entropy_loop_detection(spark):
+    """The motivating semantic: a stuck-loop suffix (same value repeated)
+    must drive windowed entropy to exactly 0."""
+    from roll_spark.operators.moments import roll_entropy
+
+    rows = [("c", i, ["a", "b", "c", "d"][i % 4]) for i in range(20)]
+    rows += [("c", 20 + i, "retry") for i in range(10)]
+    pdf = pd.DataFrame(rows, columns=["k", "t", "cat"])
+    sdf = spark.createDataFrame(pdf)
+    got = roll_entropy(sdf, "cat", "k", "t", 8, min_obs=8, out="h") \
+        .toPandas().sort_values("t")["h"].to_numpy(dtype=np.float64)
+    assert got[19] > 1.3  # varied phase: near ln(4)
+    assert got[-1] == 0.0  # loop phase: pure repetition

@@ -94,6 +94,9 @@ EXPECT = {
     "roll_acf_w20": dict(max_exchange=1, max_sort=1, max_window=2),
     "roll_percentrank_w20": dict(max_exchange=1, max_sort=1, max_window=1),
     "roll_trimmean_w10": dict(max_exchange=1, max_sort=1, max_window=1),
+    # entropy: collect_list + HOF equality counts, one frame WindowExec;
+    # the events scan legitimately reads event_type here
+    "roll_entropy_w20": dict(max_exchange=1, max_sort=1, max_window=1),
     # Spearman: lag (offset WindowExec) + paired collect_list (frame
     # WindowExec) share one exchange/sort; rank math is projections
     "roll_spearman_w10": dict(max_exchange=1, max_sort=1, max_window=2),
