@@ -497,6 +497,27 @@ rolling-hash fingerprints, map-only higher-order functions — zero
 exchanges) and `winnow_overlap_pairs` (contamination pairs via the
 fp inverted-index self-join with a hot-fp cap, forbid_cartesian
 audited).
+
+## Round-3 session-3 (same day): nine new headliners
+
+`roll_skew_kurt_w20` 0.58 s (fused G1/G2 + Jarque-Bera off one
+central-moment sweep: 1 exchange / 1 sort / 2 WindowExec),
+`roll_acf_w20` 1.00 s (lags 1-3 + Ljung-Box Q in ONE offset + ONE
+frame WindowExec), `roll_mad_w10` 1.71 s (blocked strided sorts),
+`roll_trimmean_w10` 0.59 s (JVM-HOF sorted slice + aggregate),
+`roll_spearman_w10` 1.45 s (paired mid-rank arrays, exact ties),
+`roll_entropy_w20` 1.62 s (Shannon entropy over the event_type stream
+— loop detection), `ewma_halflife_7d` 1.42 s (blocked rebased-cumsum
+time-decay scan), `tier_1h_ohlc` 0.42 s (sort-free min_by/max_by
+bars), `tier_1h_top_event` 0.50 s (partial WindowGroupLimit pushdown),
+`winnow_cc_clusters` 4.45 s (large/small-star CC: ~2.5 s pair
+generation + 4 fixpoint rounds; the initial-edge localCheckpoint keeps
+the pair pipeline from re-executing per round — 30 s without it).
+
+Common-set movement across the session's runs is the machine's
+documented noise wave (2.5x swings; e.g. ngram_jaccard_pairs walls
+span 1.06-2.86 s across four runs of identical code). Scaling held
+0.886-0.917 across three full runs this round (target >= 0.8).
 """
 
 
