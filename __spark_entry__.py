@@ -2562,22 +2562,22 @@ def oracle_sql() -> dict[str, str]:
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
         "sessionize_1h": """
             SELECT event_id, user_id, ts,
-              sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+              CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
                        THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY ts
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS session_id
+                AS BIGINT) AS session_id
             FROM (SELECT event_id, user_id, ts,
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                   FROM events)""",
         "session_stats_1h": """
             WITH s AS (
               SELECT user_id, ts, value,
-                sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+                CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
                          THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ts
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS session_id
+                  AS BIGINT) AS session_id
               FROM (SELECT user_id, ts, value,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                     FROM events)

@@ -21,20 +21,20 @@ TABLES = (
 ).split()
 
 
-def normalize(rows, cols):
-    """Sort columns by name, stringify values, sort rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def normalize(df):
+    """Driver-faithful digest: pandas DataFrame -> sorted list of row strings.
+
+    The driver converts both sides to pandas, sorts columns by name, then
+    hashes the STRINGIFIED cells — so dtype differences survive into the
+    digest (DuckDB HUGEINT -> float64 '1.0' vs Spark BIGINT int64 '1' is a
+    real mismatch, which is exactly the class of bug that slipped through
+    the old int/float-lenient normalizer in round 3). No rounding, no
+    -0.0 forgiveness here: queries must make both sides bit-identical.
+    """
+    df = df[sorted(df.columns)]
     out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.6f}"
-                if v == "-0.000000":
-                    v = "0.000000"
-            vals.append(str(v))
-        out.append("|".join(vals))
+    for row in df.itertuples(index=False, name=None):
+        out.append("|".join(str(v) for v in row))
     out.sort()
     return out
 
@@ -61,33 +61,30 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check)")
+            print(f"weak  {name}: rows={len(spdf)} (no oracle, rows-only check)")
             continue
         try:
-            res = con.sql(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
             continue
-        if sorted(scols) != sorted(ocols):
+        if sorted(spdf.columns) != sorted(opdf.columns):
             failures.append(name)
-            print(f"FAIL  {name}: schema {sorted(scols)} vs {sorted(ocols)}")
+            print(f"FAIL  {name}: schema {sorted(spdf.columns)} vs {sorted(opdf.columns)}")
             continue
-        if len(srows) != len(orows):
+        if len(spdf) != len(opdf):
             failures.append(name)
-            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
+            print(f"FAIL  {name}: rowcount {len(spdf)} vs {len(opdf)}")
             continue
-        a = normalize(srows, scols)
-        b = normalize(orows, ocols)
+        a = normalize(spdf)
+        b = normalize(opdf)
         if a != b:
             failures.append(name)
             bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
@@ -95,7 +92,7 @@ def main() -> int:
             for x, y in bad:
                 print(f"      spark : {x}\n      oracle: {y}")
         else:
-            print(f"OK    {name}: rows={len(srows)}")
+            print(f"OK    {name}: rows={len(spdf)}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
