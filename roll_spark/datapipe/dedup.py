@@ -118,6 +118,26 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+# winnow_overlap_pairs caches its fingerprint table (3 consumers: hot-fp
+# aggregate + both self-join sides).  The result is returned lazily, so the
+# cache can't be dropped inside the call — instead each call evicts the
+# PREVIOUS call's cache, bounding a long-lived session (bench/driver run
+# dozens of queries in one JVM) to at most one live fingerprint cache.
+_live_fp_cache: list = []
+
+
+def _swap_fp_cache(new_df) -> None:
+    while _live_fp_cache:
+        _live_fp_cache.pop().unpersist()
+    if new_df is not None:
+        _live_fp_cache.append(new_df)
+
+
+def release_caches() -> None:
+    """Drop the last winnow fingerprint cache (call between query suites)."""
+    _swap_fp_cache(None)
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text: str,
@@ -157,6 +177,7 @@ def winnow_overlap_pairs(
         .withColumnRenamed(id_col, "doc")
         .cache()  # reused by the hot-fp aggregate and both join sides
     )
+    _swap_fp_cache(base)
     if max_fp_df is not None:
         hot = (
             base.groupBy("fp").agg(F.count("*").alias("df_fp"))

@@ -326,8 +326,11 @@ def roll_percentrank(
 ) -> DataFrame:
     """Rolling percent rank of the CURRENT value within its trailing
     window: (#{observed v <= x_t} - 1) / (n_obs - 1), in [0, 1] — a
-    distribution-free "how extreme is this turn" score (the windowed
-    twin of SQL PERCENT_RANK, which only ranks over unbounded frames).
+    distribution-free "how extreme is this turn" score.  Tie convention
+    is MAX-rank (counts v <= x), so tied values all score at the top of
+    their tie group; SQL PERCENT_RANK uses min-rank (#{v < x}).  All
+    three paths (native HOF, Arrow kernel, DuckDB oracle) share the
+    max-rank convention.
 
     collect_list + a JVM higher-order filter; NULL when the current
     value is missing or n_obs < max(min_obs, 2). Widths above

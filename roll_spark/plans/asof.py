@@ -37,7 +37,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampNTZType
 
 from roll_spark.operators.base import Cols, _as_list
 
@@ -132,19 +131,17 @@ def asof_join(
     ).filter(F.col(_TAG) == 1)
 
     if tolerance is not None:
-        def _secs(name: str):
-            c = F.col(name)
-            if isinstance(out.schema[name].dataType, TimestampNTZType):
-                # NTZ has no direct numeric cast; session TZ is pinned UTC
-                # and the tolerance only sees DIFFERENCES, so the detour
-                # through timestamp_ltz is exact and TZ-independent
-                c = c.cast("timestamp")
-            return c.cast("double")
+        # exact int64 µs arithmetic, the same rule as sessionize /
+        # roll_time (_epoch_micros): a double-seconds comparison has a
+        # ~0.24 µs ulp at current epochs, enough to flip an event that
+        # sits exactly on the tolerance boundary
+        from roll_spark.operators.time_windows import _epoch_micros
 
-        diff = _secs(on) - _secs(matched_on)
+        diff = _epoch_micros(out, on) - _epoch_micros(out, matched_on)
         if direction == "forward":
             diff = -diff
-        keep = F.col(matched_on).isNotNull() & (diff <= F.lit(float(tolerance)))
+        tol_us = int(round(float(tolerance) * 1_000_000))
+        keep = F.col(matched_on).isNotNull() & (diff <= F.lit(tol_us))
         out = out.select(
             *keys,
             on,

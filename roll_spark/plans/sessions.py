@@ -11,11 +11,12 @@ flags —
     is_new  = prev_ts IS NULL OR ts - prev_ts > gap
     session = SUM(is_new) OVER (series ORDER BY ts ROWS UNBOUNDED PRECEDING)
 
-lag + running sum share one (partition, order) pair, so Catalyst fuses
-them into a SINGLE WindowExec behind ONE hash exchange + ONE sort —
-the same plan shape as every rolling op, no iterative/driver-side pass
-(plan budget asserted in tools/plan_audit.py).  Gap arithmetic runs on
-int64 microseconds: exact, no float drift on the boundary.
+lag + running sum share one (partition, order) pair, so the whole op
+costs ONE hash exchange + ONE sort; the sum consumes the lag's output,
+so Catalyst plans TWO pipelined WindowExec nodes over that single sort
+— still no iterative/driver-side pass (plan budget asserted in
+tools/plan_audit.py, max_window=2).  Gap arithmetic runs on int64
+microseconds: exact, no float drift on the boundary.
 
 At 100 TB the per-series state is one running counter; skewed series
 fall under the same chunked/AQE story as the rolling ops.  DuckDB

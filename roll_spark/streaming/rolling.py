@@ -123,9 +123,12 @@ def stream_roll(
             if str(o.dtype).startswith("datetime64"):
                 t_us = o.astype("int64").to_numpy() // 1000  # ns -> us
             else:
-                # integer order column: interpreted as epoch MICROSECONDS
-                # (the kernel's native unit; halflife_s stays seconds)
-                t_us = o.to_numpy(dtype=np.int64)
+                # numeric order column: SECONDS, the same convention as
+                # the batch engine's _epoch_micros (time_windows.py:40) —
+                # a batch ewma_time pipeline ported to streaming keeps
+                # its decay rate unchanged
+                t_us = np.round(
+                    o.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
             res, kstate = K.online_ewma_time(x, t_us, halflife_s,
                                              min_obs=min_obs, state=kstate)
         else:

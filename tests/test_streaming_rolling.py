@@ -36,11 +36,11 @@ def ordered_stream_dir(spark, tmp_path_factory):
         lats = np.round(rng.normal(5, 2, N_TURNS), 2)
         lats[rng.random(N_TURNS) < 0.15] = np.nan
         for t in range(N_TURNS):
-            rows.append((f"c{c}", t, t * 3_600_000_000,
+            rows.append((f"c{c}", t, t * 3600.0,
                          None if np.isnan(vals[t]) else float(vals[t]),
                          None if np.isnan(lats[t]) else float(lats[t])))
     pdf = pd.DataFrame(
-        rows, columns=["conv_id", "turn_idx", "ts_us", "text_len", "lat"])
+        rows, columns=["conv_id", "turn_idx", "ts_s", "text_len", "lat"])
     src = base / "src"
     os.makedirs(src)
     now = time.time()
@@ -68,10 +68,11 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
 
     src, pdf = ordered_stream_dir
     sdf = spark.readStream.schema(
-        "conv_id string, turn_idx long, ts_us long, text_len double, lat double"
+        "conv_id string, turn_idx long, ts_s double, text_len double, lat double"
     ).option("maxFilesPerTrigger", 1).parquet(src)
-    # ewma orders by EVENT TIME (the hourly ts_us column); window ops by turn
-    order_col = "ts_us" if op == "ewma" else "turn_idx"
+    # ewma orders by EVENT TIME — a numeric SECONDS column, the engine-wide
+    # _epoch_micros convention; window ops order by turn
+    order_col = "ts_s" if op == "ewma" else "turn_idx"
     out = stream_roll(sdf, "text_len", "conv_id", order_col, WIDTH,
                       op=op, min_obs=2, out="r", **kw)
     qname = f"roll_{op}"
@@ -92,7 +93,7 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
         if op == "quantile":
             want = K.conv_quantile(series, WIDTH, 0.5, min_obs=2)
         elif op == "ewma":
-            t_us = sub["ts_us"].to_numpy(dtype=np.int64)
+            t_us = np.round(sub["ts_s"].to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
             want = K.conv_ewma_time(series, t_us, 6 * 3600.0, min_obs=2)
         elif op == "cov":
             yv = sub["lat"].to_numpy(dtype=np.float64)
