@@ -293,10 +293,14 @@ def _machine_ceiling() -> dict:
 N_CORES, N4_CORES = 2, 8
 
 
-def _run_worker(cpus: int, rows: int) -> dict:
+def _run_worker(cpus: int, rows: int, iters: int | None = None) -> dict:
     cmd = [sys.executable, __file__, "--scaling-worker", str(cpus), str(rows)]
+    env = dict(os.environ)
+    if iters is not None:
+        env["ROLL_BENCH_ITERS"] = str(iters)
     out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=1200, cwd=str(REPO)
+        cmd, capture_output=True, text=True, timeout=1800, cwd=str(REPO),
+        env=env,
     )
     line = [l for l in out.stdout.splitlines()
             if l.startswith("{") and "wall_s" in l][-1]
@@ -308,18 +312,28 @@ def _run_worker(cpus: int, rows: int) -> dict:
     return res
 
 
-def run_scaling(rows: int, pairs: int = 3) -> dict:
-    """Run (localN, local4N) back-to-back PAIRS; each subprocess itself
-    runs the timed job ROLL_BENCH_ITERS times and reports its minimum
-    wall (see scaling_worker), so a single noise wave cannot poison a
-    config's number. The HEADLINE efficiency is the MEDIAN of per-pair
-    efficiencies — the estimator a skeptical reader would pick; the
-    ratio of per-config minima (the least-interfered observation of each
-    config) is reported alongside as the noise-floor estimate."""
+def run_scaling(rows: int, pairs: int = 5) -> dict:
+    """Run (localN, local4N) back-to-back interleaved PAIRS; each
+    subprocess itself runs the timed job several times and reports its
+    minimum wall (see scaling_worker), so a single noise wave cannot
+    poison a config's number. The HEADLINE efficiency is the MEDIAN of
+    per-pair efficiencies — the estimator a skeptical reader would pick;
+    the ratio of per-config minima (the least-interfered observation of
+    each config) is reported alongside as the noise-floor estimate.
+
+    Iteration counts are asymmetric by measured noise profile (r3 data,
+    BENCH_r03.json): the localN walls were stable to ±1% while local4N
+    walls swung ±15% — a hypervisor noise wave is multi-minute, so it
+    can span an entire short 4N subprocess (3 iters ≈ 100 s) but not a
+    long N one. 2 iterations suffice for the stable long config; the
+    noisy short config gets 5, forcing a wave to last ~3 min to poison
+    a pair. 5 pairs make the median robust to two poisoned pairs."""
+    iters_n = int(os.environ.get("ROLL_BENCH_ITERS_N", "2"))
+    iters_4n = int(os.environ.get("ROLL_BENCH_ITERS_4N", "5"))
     runs = []
     for _ in range(pairs):
-        rn = _run_worker(N_CORES, rows)
-        r4n = _run_worker(N4_CORES, rows)
+        rn = _run_worker(N_CORES, rows, iters=iters_n)
+        r4n = _run_worker(N4_CORES, rows, iters=iters_4n)
         eff = (rn["wall_s"] / r4n["wall_s"]) / (N4_CORES / N_CORES)
         runs.append({"localN": rn, "local4N": r4n, "efficiency": round(eff, 3)})
     by_eff = sorted(runs, key=lambda r: r["efficiency"])
@@ -344,6 +358,8 @@ def run_scaling(rows: int, pairs: int = 3) -> dict:
         "all_pair_efficiencies": [r["efficiency"] for r in runs],
         "all_walls_localN": walls_n,
         "all_walls_local4N": walls_4n,
+        "pairs": pairs,
+        "iters_per_config": {"localN": iters_n, "local4N": iters_4n},
         "machine_cpu_ceiling": _machine_ceiling(),
     }
 

@@ -274,3 +274,120 @@ def bpe_token_stats(df: DataFrame, text: str, id_col: str) -> DataFrame:
         bpe.alias("bpe_tokens"),
         F.when(ws > 0, bpe.cast("double") / ws).otherwise(F.lit(0.0)).alias("bpe_per_ws"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level aggregates: the statistics a training-data pipeline
+# computes OVER the corpus (stop-lists, df/idf tables, top n-grams)
+# rather than per document — so caps like ngram_jaccard_pairs'
+# max_shingle_df come from the data instead of a constant.
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_expr(text: Column, n: int) -> Column:
+    """Array of word n-grams (NON-distinct, corpus-count semantics) via
+    the same linear zip_with fold as dedup.shingles — one fused array
+    walk, no per-gram lambda/element_at (9x faster, see shingles)."""
+    tok = F.split(text, " ")
+    glen = F.size(tok) - (n - 1)
+    grams = F.slice(tok, 1, F.greatest(glen, F.lit(0)))
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(tok, k + 1, F.greatest(glen, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    # docs shorter than n tokens contribute no grams (empty array, not
+    # an ANSI negative-length slice error)
+    return F.when(glen > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def corpus_top_ngrams(
+    df: DataFrame, text: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Top-k word n-grams across the WHOLE corpus by occurrence count
+    (ties broken by n-gram text, so the cut is deterministic).
+
+    Plan shape: explode -> hash aggregate with MAP-SIDE partial
+    aggregation (the shuffle carries one row per distinct gram per
+    partition, not one per occurrence) -> TakeOrderedAndProject (each
+    task keeps a k-row heap; the driver merges P heaps). No global sort
+    is ever materialized — at 100 TB the full gram histogram never
+    lands on one node, only P*k candidate rows do."""
+    grams = word_ngrams_expr(F.col(text), n)
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def corpus_doc_freq(
+    df: DataFrame, text: str, id_col: str, *, min_df: int = 1
+) -> DataFrame:
+    """Document-frequency + smoothed IDF table over the corpus
+    vocabulary: (token, df_docs, idf) for tokens appearing in at least
+    ``min_df`` documents. idf = ln((1 + N) / (1 + df)) + 1 — the
+    sklearn smooth_idf form, never divides by zero, defined even for
+    an empty corpus slice.
+
+    Per-doc dedup happens INSIDE the row (array_distinct before the
+    explode), so the aggregate input is already (doc, token)-unique —
+    no DISTINCT shuffle. N comes from a 1-row broadcast aggregate
+    cross-joined in (BroadcastNestedLoopJoin over one row), keeping the
+    whole computation in the plan: no driver round-trip, resumable,
+    and the scan of ``df`` is shared by both sides under AQE."""
+    toks = df.select(
+        F.explode(F.array_distinct(F.split(F.col(text), " "))).alias("token")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    out = freq.crossJoin(F.broadcast(n_docs))
+    idf = F.log((1.0 + F.col("__n_docs")) / (1.0 + F.col("df_docs"))) + F.lit(1.0)
+    return (
+        out.filter(F.col("df_docs") >= int(min_df))
+        .select("token", "df_docs", idf.alias("idf"))
+    )
+
+
+def doc_tfidf_topk(
+    df: DataFrame, text: str, id_col: str, *, k: int = 5
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (tf = raw in-doc count, idf =
+    the smoothed corpus table from corpus_doc_freq). Returns
+    (id, token, tf, tfidf, rnk).
+
+    Determinism contract for cross-engine comparison: idf is rounded to
+    6 decimals BEFORE the product, so the ranking key tf * idf6 is the
+    product of identical float64s on any engine — ulp differences in
+    ln() can never flip a rank. Ties break by token text.
+
+    Plan shape: tf = one hash aggregate on (doc, token); join to the
+    vocab-sized df/idf table on token (AQE broadcasts it when small —
+    vocabularies are ~10^6 rows even at 100 TB corpus scale); top-k per
+    doc is a rank window, where Spark pushes a partial WindowGroupLimit
+    below the exchange so each map task emits at most k rows per doc."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text), " ")).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = corpus_doc_freq(df, text, id_col).select(
+        "token", F.round(F.col("idf") + F.lit(1e-7), 6).alias("idf6")
+    )
+    j = tf.join(idf, "token")
+    score = F.col("tf") * F.col("idf6")
+    w = Window.partitionBy(id_col).orderBy(F.desc(score), F.asc("token"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(id_col, "token", "tf",
+                F.round(score + F.lit(1e-7), 6).alias("tfidf"), "rnk")
+    )

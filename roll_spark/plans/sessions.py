@@ -83,3 +83,30 @@ def session_stats(
         - F.unix_micros(F.col("session_start").cast("timestamp"))
     ) / F.lit(1_000_000.0)
     return out.withColumn("duration_s", dur)
+
+
+def event_transitions(
+    df: DataFrame,
+    by: Cols,
+    order: str,
+    type_col: str,
+) -> DataFrame:
+    """Markov transition counts over a categorical turn stream: for each
+    series ordered by ``order``, count (previous type -> type) adjacent
+    pairs across the whole corpus. The agent-telemetry twin of
+    roll_entropy — the transition matrix is what a loop/behavior
+    detector fits, and a near-diagonal matrix is the batch-level
+    signature of stuck agents.
+
+    Plan: ONE lag window (one exchange + one sort, same budget as
+    sessionize) + ONE hash aggregate with map-side partials; output is
+    |types|^2 rows regardless of input size."""
+    keys = _as_list(by)
+    w = Window.partitionBy(*keys).orderBy(order)
+    prev = F.lag(F.col(type_col)).over(w)
+    return (
+        df.select(prev.alias("from_type"), F.col(type_col).alias("to_type"))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )

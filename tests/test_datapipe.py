@@ -388,3 +388,108 @@ def test_ivf_seeded_centroids_recall(spark, emb):
                        centroids=seed_centroids(64, 16, 42)).collect()}
     hits = sum(1 for q, n in brute.items() if approx.get(q) == n)
     assert hits / len(brute) >= 0.6, f"top-1 recall {hits}/{len(brute)}"
+
+
+def test_corpus_top_ngrams_matches_python(spark, docs):
+    """Corpus bigram counts vs a pure-python Counter over the same
+    tokenization, including the deterministic (count desc, gram asc)
+    tie-break at the k cut."""
+    from collections import Counter
+
+    from roll_spark.datapipe.text import corpus_top_ngrams
+
+    rows = docs.select("text").collect()
+    cnt = Counter()
+    for r in rows:
+        toks = r.text.split(" ")
+        for i in range(len(toks) - 1):
+            cnt[toks[i] + " " + toks[i + 1]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.ngram, r.cnt) for r in
+           corpus_top_ngrams(docs, "text", n=2, k=20).collect()]
+    assert got == want
+
+
+def test_corpus_top_ngrams_short_docs(spark):
+    """Docs shorter than n tokens contribute nothing (no ANSI slice
+    error), and trigram counting works."""
+    import pandas as pd
+
+    from roll_spark.datapipe.text import corpus_top_ngrams
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                        "text": ["a", "a b", "a b c a b c", ""]})
+    df = spark.createDataFrame(pdf)
+    out = {(r.ngram, r.cnt) for r in
+           corpus_top_ngrams(df, "text", n=3, k=10).collect()}
+    assert out == {("a b c", 2), ("b c a", 1), ("c a b", 1)}
+
+
+def test_corpus_doc_freq_and_idf(spark, docs):
+    """df counts = number of docs containing the token; smoothed idf
+    formula checked against numpy."""
+    import math
+
+    from roll_spark.datapipe.text import corpus_doc_freq
+
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    df_py = {}
+    for r in rows:
+        for t in set(r.text.split(" ")):
+            df_py[t] = df_py.get(t, 0) + 1
+    out = corpus_doc_freq(docs, "text", "doc_id", min_df=2).collect()
+    want = {t: d for t, d in df_py.items() if d >= 2}
+    assert {r.token: r.df_docs for r in out} == want
+    for r in out:
+        assert abs(r.idf - (math.log((1 + n_docs) / (1 + r.df_docs)) + 1)) < 1e-12
+
+
+def test_doc_tfidf_topk_matches_python(spark, docs):
+    """Per-doc top-5 tf-idf vs a python replay using the same
+    rounded-idf ranking key and (score desc, token asc) tie-break."""
+    import math
+    from collections import Counter
+
+    from roll_spark.datapipe.text import doc_tfidf_topk
+
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    df_py: dict = {}
+    toks_by_doc = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        toks_by_doc[r.doc_id] = toks
+        for t in set(toks):
+            df_py[t] = df_py.get(t, 0) + 1
+    idf6 = {t: round(1e-7 + math.log((1 + n_docs) / (1 + d)) + 1, 6)
+            for t, d in df_py.items()}
+    want = {}
+    for doc, toks in toks_by_doc.items():
+        tf = Counter(toks)
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1] * idf6[kv[0]], kv[0]))
+        want[doc] = [(t, c, idx + 1) for idx, (t, c) in enumerate(ranked[:5])]
+    got: dict = {}
+    for r in doc_tfidf_topk(docs, "text", "doc_id", k=5).collect():
+        got.setdefault(r.doc_id, []).append((r.token, r.tf, r.rnk))
+    for doc in got:
+        got[doc].sort(key=lambda x: x[2])
+    assert got == want
+
+
+def test_event_transitions_matches_python(spark):
+    """Transition counts vs a python lag replay on a small stream with
+    ties-free ordering."""
+    import pandas as pd
+
+    from roll_spark.plans.sessions import event_transitions
+
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2],
+        "ts": [1, 2, 3, 4, 1, 2, 3],
+        "event_type": ["a", "b", "a", "a", "b", "b", "a"],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {(r.from_type, r.to_type): r.n_trans
+           for r in event_transitions(df, "user_id", "ts", "event_type").collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "a"): 1, ("b", "b"): 1}

@@ -106,6 +106,19 @@ EXPECT = {
     # winnow_overlap_pairs); never a cartesian join
     "winnow_cc_clusters": dict(max_exchange=12, forbid_cartesian=True,
                                scan_free=True),
+    # transitions: ONE lag window (exchange+sort) + ONE partial-agg groupBy
+    "event_transitions": dict(max_exchange=2, max_sort=1, max_window=1),
+    # corpus top-k: map-side partial agg + TakeOrderedAndProject heap
+    # merge — zero sorts, zero windows, one exchange
+    "corpus_top_ngrams": dict(max_exchange=1, max_sort=0, max_window=0),
+    # df/idf: token groupBy + SinglePartition 1-row N agg; the N joins
+    # back via a 1-row BroadcastNestedLoopJoin (deliberate, not a data
+    # cartesian — so no forbid_cartesian here)
+    "corpus_doc_freq": dict(max_exchange=2, max_sort=0, max_window=0),
+    # tf-idf top-k: tf groupBy + df groupBy + N agg + rank window; the
+    # vocab join broadcasts, the rank window gets a partial
+    # WindowGroupLimit (its own map-side sort) below the exchange
+    "doc_tfidf_top5": dict(max_exchange=4, max_sort=2, max_window=1),
 }
 
 
