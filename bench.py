@@ -76,7 +76,13 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "emb_neardup_lsh_scale",  # banded near-dup at its pruning operating point
     "ann_brute_top5",
+    "corpus_top_ngrams",    # corpus-wide top-k grams (partial agg + heap merge)
+    "doc_tfidf_top5",       # tf-idf top terms (vocab join + rank pushdown)
+    "event_transitions",    # Markov transition matrix (lag window + hash agg)
 ]
+# stream_* gates are correctness queries, not headliners: each spins up
+# a Structured Streaming query over temp files — wall measures sink
+# setup, not the operator (same policy as rounds 1-3).
 # emb_neardup_lsh is gated for CORRECTNESS at sf0.01 (blocking loses
 # nothing vs brute) but deliberately not a headline query: this corpus
 # has no pairs above cosine 0.51, so its gate runs at threshold 0.4 —
@@ -155,6 +161,54 @@ def codec_bench(n: int = 300_000) -> dict:
     out["encode_speedup"] = round(out["v2"]["encode_mpts"] / out["scalar"]["encode_mpts"], 1)
     out["decode_speedup"] = round(out["v2"]["decode_mpts"] / out["scalar"]["decode_mpts"], 1)
     return out
+
+
+def cc_soak_bench(n_edges: int = 1_000_000) -> dict:
+    """Adversarial connected-components soak: a 10^6-edge chain + star +
+    cliques mix (a 400k-node CHAIN has graph diameter 400k — naive
+    min-label propagation would need 400k rounds; the alternating-star
+    algorithm must finish in O(log n)). Records the measured round count
+    against the 2*ceil(log2 n) assertion so the 100x-scale convergence
+    claim has a measured point, plus wall + edges/sec."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from roll_spark.datapipe.dedup import connected_components
+    from roll_spark.session import get_spark
+
+    spark = get_spark(cpus=CPUS, app_name="roll_spark_bench")
+    chain_n, star_n = 400_000, 300_000
+    chain = np.arange(chain_n)
+    parts = [np.stack([chain[:-1], chain[1:]], 1)]
+    leaves = np.arange(chain_n + 1, chain_n + 1 + star_n)
+    parts.append(np.stack([np.full_like(leaves, chain_n), leaves], 1))
+    base = chain_n + star_n + 10
+    ii, jj = np.triu_indices(10, 1)  # 45 edges per 10-node clique
+    n_cliq = max(0, (n_edges - sum(len(p) for p in parts)) // 45)
+    for c in range(n_cliq):
+        nodes = base + c * 10 + np.arange(10)
+        parts.append(np.stack([nodes[ii], nodes[jj]], 1))
+    E = np.concatenate(parts)
+    df = spark.createDataFrame(pd.DataFrame({"da": E[:, 0], "db": E[:, 1]}))
+    n_nodes = chain_n + star_n + 1 + n_cliq * 10
+    bound = 2 * math.ceil(math.log2(n_nodes))
+    stats: dict = {}
+    t0 = time.time()
+    n_labeled = connected_components(df, stats=stats).count()
+    wall = time.time() - t0
+    assert stats["rounds"] <= bound, (stats, bound)
+    return {
+        "edges": int(len(E)),
+        "nodes": n_nodes,
+        "rounds": stats["rounds"],
+        "round_bound_2log2n": bound,
+        "diameter": chain_n - 1,
+        "wall_s": round(wall, 3),
+        "edges_per_sec": round(len(E) / wall, 1),
+        "labeled_nodes": int(n_labeled),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -364,7 +418,8 @@ def run_scaling(rows: int, pairs: int = 5) -> dict:
     }
 
 
-def write_bench_md(timings, total, scaling, walls=None, codec=None):
+def write_bench_md(timings, total, scaling, walls=None, codec=None,
+                   cc_soak=None):
     md = REPO / "BENCH.md"
     if scaling is None and md.exists() and "## Scaling" in md.read_text():
         # keep the last full run's scaling evidence; only refresh headline
@@ -400,6 +455,20 @@ def write_bench_md(timings, total, scaling, walls=None, codec=None):
             f"**RSG2 speedup: {codec['encode_speedup']}x encode,"
             f" {codec['decode_speedup']}x decode** (same compressed size;"
             " bit-exact round-trip tested against the scalar oracle).",
+            "",
+        ]
+    if cc_soak and "error" not in cc_soak:
+        lines += [
+            "## Connected-components soak (adversarial chain+star, "
+            f"{cc_soak['edges']:,} edges)",
+            "",
+            f"Graph diameter {cc_soak['diameter']:,} (naive min-label",
+            "propagation would need that many rounds); alternating",
+            f"large/small-star converged in **{cc_soak['rounds']} rounds**",
+            f"(assertion bound 2*ceil(log2 n) = {cc_soak['round_bound_2log2n']})",
+            f"over {cc_soak['nodes']:,} nodes in {cc_soak['wall_s']} s",
+            f"({cc_soak['edges_per_sec']:,.0f} edges/s); "
+            f"{cc_soak['labeled_nodes']:,} nodes labeled.",
             "",
         ]
     if scaling:
@@ -543,6 +612,12 @@ def main() -> None:
         return
     timings, total, walls = run_headline()
     codec = codec_bench()
+    cc_soak = None
+    if os.environ.get("ROLL_BENCH_SKIP_CC") != "1":
+        try:
+            cc_soak = cc_soak_bench()
+        except Exception as e:  # soak evidence is best-effort extra
+            cc_soak = {"error": f"{type(e).__name__}: {e}"}
     scaling = None
     if os.environ.get("ROLL_BENCH_SKIP_SCALING") != "1":
         try:
@@ -552,7 +627,7 @@ def main() -> None:
     write_bench_md(
         timings, total,
         scaling if scaling and "error" not in scaling else None,
-        walls=walls, codec=codec,
+        walls=walls, codec=codec, cc_soak=cc_soak,
     )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -565,6 +640,7 @@ def main() -> None:
                 "queries": timings,
                 "query_walls": walls,
                 "gorilla_codec": codec,
+                "cc_soak": cc_soak,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "scaling": scaling,
             }

@@ -515,6 +515,7 @@ def connected_components(
     max_iter: int = 30,
     out_id: str = "doc_id",
     out_cluster: str = "cluster_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a
     candidate-pair edge list (minhash / simhash / winnow-overlap pairs),
@@ -562,17 +563,24 @@ def connected_components(
 
     sig = _cc_digest(e)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
         e = (
             _cc_small_star(_cc_large_star(e))
             .repartition(_parts(sig[0]))
             .localCheckpoint(eager=True)
         )
+        rounds += 1
         nsig = _cc_digest(e)
         if nsig == sig:
             converged = True
             break
         sig = nsig
+    if stats is not None:
+        # observability for the O(log^2 n) convergence claim: soak
+        # tests/bench assert the measured round count against the bound
+        stats["rounds"] = rounds
+        stats["final_edges"] = sig[0]
     if not converged:
         # star contraction converges in O(log^2 n) rounds — the default
         # 30 covers any realizable graph. Exhausting max_iter means

@@ -493,3 +493,51 @@ def test_event_transitions_matches_python(spark):
     got = {(r.from_type, r.to_type): r.n_trans
            for r in event_transitions(df, "user_id", "ts", "event_type").collect()}
     assert got == {("a", "b"): 1, ("b", "a"): 2, ("a", "a"): 1, ("b", "b"): 1}
+
+
+def test_cc_adversarial_chain_star_soak(spark):
+    """Convergence-rate evidence for the O(log^2 n) claim: an
+    adversarial chain (graph diameter = n, the failure mode of naive
+    min-label propagation) + star + cliques mix must converge in
+    O(log n) alternating-star rounds — asserted at 2*ceil(log2(n)) —
+    with labels exactly equal to a union-find oracle."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from roll_spark.datapipe.dedup import connected_components
+
+    chain = np.arange(5_000)
+    edges = [np.stack([chain[:-1], chain[1:]], 1)]
+    leaves = np.arange(6_001, 8_001)
+    edges.append(np.stack([np.full_like(leaves, 6_000), leaves], 1))
+    base = 10_000
+    for c in range(50):
+        nodes = base + c * 10 + np.arange(10)
+        ii, jj = np.triu_indices(10, 1)
+        edges.append(np.stack([nodes[ii], nodes[jj]], 1))
+    E = np.concatenate(edges)
+    df = spark.createDataFrame(pd.DataFrame({"da": E[:, 0], "db": E[:, 1]}))
+
+    stats = {}
+    out = connected_components(df, stats=stats).toPandas()
+
+    n_nodes = len(np.unique(E))
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n_nodes)), stats
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in E:
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {x: find(x) for x in parent}
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == want
