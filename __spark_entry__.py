@@ -228,6 +228,30 @@ def q_tier_1m_stats(spark, sf_dir):
     )
 
 
+def q_tier_1h_realtime(spark, sf_dir):
+    """Real-time continuous aggregate (the TimescaleDB pattern): the 1h
+    tier is materialized only for buckets before a mid-range watermark
+    (2024-01-16); realtime_view unions it with an on-the-fly rollup of
+    the raw tail. The oracle recomputes the FULL 1h tier directly from
+    raw — exact equality of the seamed view is the real-time
+    continuous-aggregate correctness property."""
+    from roll_spark.plans.tiers import realtime_view
+
+    cutoff = "2024-01-16 00:00:00"
+    ev = _events(spark, sf_dir)
+    mat = T.rollup_raw(
+        ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")),
+        "value", "ts", "user_id", "1h",
+    )
+    rt = T.finalize(realtime_view(ev, mat, "value", "ts", "user_id", "1h",
+                                  cutoff=cutoff))
+    return rt.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
 def q_tier_1h_cascade(spark, sf_dir):
     """1h tier computed BY MERGING 1m sufficient stats (Chan combination);
     the oracle recomputes 1h directly from raw — exact equality is the
@@ -1394,8 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_doc_freq": q_corpus_doc_freq,
         "doc_tfidf_top5": q_doc_tfidf_top5,
         "event_transitions": q_event_transitions,
+        "tier_1h_realtime": q_tier_1h_realtime,
         # -- implementation touched in round 4 --------------------------
-        "asof_join_events": q_asof_join_events,
         "asof_join_fwd_tol": q_asof_join_fwd_tol,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "stream_roll_mean_w10": q_stream_roll_mean_w10,
@@ -1482,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_quantile_w10": q_stream_roll_quantile_w10,
         "stream_roll_cov_w10": q_stream_roll_cov_w10,
         "dedup_exact": q_dedup_exact,
+        "asof_join_events": q_asof_join_events,
     }
 
 
@@ -2863,6 +2888,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t""",
         "tier_1m_stats": _TIER_STATS.format(unit="minute"),
         "tier_1h_cascade": _TIER_STATS.format(unit="hour"),
+        "tier_1h_realtime": _TIER_STATS.format(unit="hour"),
         # checkpoint-write -> manifest-resume must round-trip the tier
         "tier_1h_checkpointed": _TIER_STATS.format(unit="hour"),
         "tier_1d_cascade": _TIER_STATS.format(unit="day"),

@@ -289,3 +289,38 @@ def tier_top_values(
         counts.withColumn(out_rank, F.row_number().over(w))
         .filter(F.col(out_rank) <= k)
     )
+
+
+def realtime_view(
+    raw: DataFrame,
+    materialized: DataFrame,
+    value: str,
+    ts: str,
+    by: Cols,
+    tier: str,
+    *,
+    cutoff: str,
+    bucket_out: str = "bucket_ts",
+) -> DataFrame:
+    """Real-time continuous aggregate (the TimescaleDB pattern): buckets
+    strictly BEFORE the materialization watermark ``cutoff`` are served
+    from the ``materialized`` tier store; the raw tail at/after the
+    watermark is rolled up on the fly; the union is exactly equal to a
+    full recomputation (driver-gated in tier_1h_realtime).
+
+    ``cutoff`` is truncated to the tier bucket so no bucket ever
+    straddles the seam — the one invariant that makes the union exact.
+
+    Scale shape: the materialized side is a pruned tier-store scan
+    (bucket predicate pushes down to the partition column of the tier
+    sink); the fresh side aggregates ONLY the raw tail (hours of data,
+    not years), which is the entire point at 10^12 turns: dashboards
+    read mostly-materialized data yet always see the live edge.
+    """
+    cut = F.date_trunc(TIERS[tier], F.lit(cutoff).cast("timestamp"))
+    old = materialized.filter(F.col(bucket_out) < cut)
+    fresh = rollup_raw(
+        raw.filter(F.col(ts) >= cut), value, ts, by, tier,
+        bucket_out=bucket_out,
+    )
+    return old.select(fresh.columns).unionByName(fresh)

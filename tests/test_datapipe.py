@@ -541,3 +541,25 @@ def test_cc_adversarial_chain_star_soak(spark):
     want = {x: find(x) for x in parent}
     got = dict(zip(out.doc_id, out.cluster_id))
     assert got == want
+
+
+def test_ngram_jaccard_frac_cap_equals_absolute(spark, docs):
+    """The data-driven stop-shingle cap (frac of corpus size) produces
+    exactly the pairs of the equivalent absolute cap."""
+    from roll_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    n_docs = docs.count()
+    frac = 0.04
+    absolute = int(frac * n_docs)  # the threshold frac*N resolves to
+    a = {(r.da, r.db, round(r.jaccard, 9)) for r in ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.1,
+        max_shingle_df=absolute).collect()}
+    b = {(r.da, r.db, round(r.jaccard, 9)) for r in ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.1,
+        max_shingle_df_frac=frac).collect()}
+    assert a == b and len(a) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, "text", "doc_id",
+                            max_shingle_df=5, max_shingle_df_frac=0.1)

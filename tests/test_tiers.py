@@ -159,3 +159,35 @@ def test_table_source_resolution(spark, tmp_path):
     write_tier(df, out, partition_by=["g"], sort_within=["g", "id"])
     back = spark.read.parquet(out)
     assert back.count() == 100 and "g" in back.columns
+
+
+def test_realtime_view_equals_full_rollup(spark, tdf):
+    """Real-time continuous aggregate: materialized-before-cutoff union
+    on-the-fly tail == full recomputation, bit-identical — including a
+    NON-bucket-aligned cutoff (truncated to the bucket so no bucket
+    straddles the seam)."""
+    full = _stats_map(T.finalize(
+        T.rollup_raw(tdf, "text_len", "ts", "conv_id", "1h")))
+    ts_mid = tdf.selectExpr("percentile(unix_micros(ts), 0.5) p").first().p
+    import datetime
+
+    # deliberately NOT hour-aligned: realtime_view must truncate it
+    cutoff = datetime.datetime.utcfromtimestamp(ts_mid / 1e6).strftime(
+        "%Y-%m-%d %H:37:11")
+    mat = T.rollup_raw(
+        tdf.filter(F.col("ts") < F.date_trunc(
+            "hour", F.lit(cutoff).cast("timestamp"))),
+        "text_len", "ts", "conv_id", "1h",
+    )
+    rt = _stats_map(T.finalize(T.realtime_view(
+        tdf, mat, "text_len", "ts", "conv_id", "1h", cutoff=cutoff)))
+    assert rt.keys() == full.keys()
+    for k, want in full.items():
+        got = rt[k]
+        for c in ("n", "sum_x", "m2", "min_x", "max_x", "first_ts",
+                  "first_x", "last_ts", "last_x", "mean_x", "sd_x"):
+            w, g = want[c], got[c]
+            if isinstance(w, float):
+                assert g == pytest.approx(w, rel=0, abs=1e-9), (k, c)
+            else:
+                assert g == w, (k, c)

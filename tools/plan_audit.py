@@ -106,6 +106,10 @@ EXPECT = {
     # winnow_overlap_pairs); never a cartesian join
     "winnow_cc_clusters": dict(max_exchange=12, forbid_cartesian=True,
                                scan_free=True),
+    # realtime continuous aggregate: two partial-agg groupBys (the
+    # materialized side + the raw tail), zero sorts/windows; the seam
+    # filter pushes down to both scans
+    "tier_1h_realtime": dict(max_exchange=2, max_sort=0, max_window=0),
     # transitions: ONE lag window (exchange+sort) + ONE partial-agg groupBy
     "event_transitions": dict(max_exchange=2, max_sort=1, max_window=1),
     # corpus top-k: map-side partial agg + TakeOrderedAndProject heap
