@@ -79,6 +79,7 @@ HEADLINE = [
     "corpus_top_ngrams",    # corpus-wide top-k grams (partial agg + heap merge)
     "doc_tfidf_top5",       # tf-idf top terms (vocab join + rank pushdown)
     "event_transitions",    # Markov transition matrix (lag window + hash agg)
+    "tier_1h_realtime",     # real-time continuous aggregate (seamed union)
 ]
 # stream_* gates are correctness queries, not headliners: each spins up
 # a Structured Streaming query over temp files — wall measures sink
