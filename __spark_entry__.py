@@ -192,6 +192,23 @@ def q_expanding_mean(spark, sf_dir):
     return _sel(df, "s", "emean")
 
 
+def q_roll_lm_predict_w20(spark, sf_dir):
+    """Rolling-OLS in-sample prediction + residual (the anomaly-stream
+    view of roll_lm): y_hat = alpha + beta*x at each row, resid =
+    y - y_hat; pure projections over roll_lm's single WindowExec."""
+    from roll_spark.operators.lm import roll_lm_predict
+
+    ev = _events(spark, sf_dir).withColumn(
+        "rn", F.row_number().over(ordered_window("user_id", "ts")).cast("double")
+    )
+    df = roll_lm_predict(ev, "rn", "value", "user_id", "ts", 20, min_obs=20)
+    return df.select(
+        "user_id", "ts",
+        _r6(F.col("lm_y_hat")).alias("y_hat"),
+        _r6(F.col("lm_resid")).alias("resid"),
+    )
+
+
 def q_roll_lm_w20(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn(
         "rn", F.row_number().over(ordered_window("user_id", "ts")).cast("double")
@@ -1507,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_cov_w10": q_stream_roll_cov_w10,
         "dedup_exact": q_dedup_exact,
         "asof_join_events": q_asof_join_events,
+        "roll_lm_predict_w20": q_roll_lm_predict_w20,
     }
 
 
@@ -2374,6 +2392,33 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + avg(value) OVER (PARTITION BY user_id ORDER BY ts
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS emean
             FROM events""",
+        "roll_lm_predict_w20": f"""
+            WITH t AS (
+              SELECT user_id, ts, value AS y,
+                     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS x
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, x, y,
+                     count(*) OVER ({_W20}) AS n,
+                     sum(x) OVER ({_W20}) AS sx,
+                     sum(y) OVER ({_W20}) AS sy,
+                     sum(x*x) OVER ({_W20}) AS sxx,
+                     sum(x*y) OVER ({_W20}) AS sxy
+              FROM t
+            ), d AS (
+              SELECT user_id, ts, x, y, n,
+                     sxx - sx*sx/n AS Sxx, sxy - sx*sy/n AS Sxy,
+                     sx/n AS mx, sy/n AS my
+              FROM s
+            ), e AS (
+              SELECT user_id, ts, x, y, mx, my,
+                     CASE WHEN n >= 20 AND Sxx != 0 THEN Sxy/Sxx END AS beta
+              FROM d
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 + (my - mx*beta) + beta*x, 6) AS y_hat,
+              ROUND(1e-7 + y - ((my - mx*beta) + beta*x), 6) AS resid
+            FROM e""",
         "roll_lm_w20": f"""
             WITH t AS (
               SELECT user_id, ts, value AS y,

@@ -21,7 +21,7 @@ ts timestamp)``; numeric series are derived (text_len, latency_s).
 """
 
 from roll_spark.config import RollSpec
-from roll_spark.operators.lm import roll_lm
+from roll_spark.operators.lm import roll_lm, roll_lm_predict
 from roll_spark.operators.arrow_ops import (
     roll_cov_matrix,
     roll_cov_xy_matrix,
@@ -83,6 +83,7 @@ __all__ = [
     "roll_any",
     "roll_all",
     "roll_lm",
+    "roll_lm_predict",
     "roll_lm_k",
     "roll_lm_multi",
     "roll_cov_matrix",

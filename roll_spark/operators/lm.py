@@ -114,3 +114,41 @@ def roll_lm(
             F.sqrt(var_resid * (F.lit(1.0) / n + mean_x * mean_x / A)),
         )
     return df.withColumns(cols)
+
+
+def roll_lm_predict(
+    df: DataFrame,
+    x: str,
+    y: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    *,
+    intercept: bool = True,
+    min_obs: int | None = None,
+    weights: Sequence[float] | None = None,
+    out_prefix: str = "lm_",
+) -> DataFrame:
+    """Rolling OLS with in-sample prediction and residual at each row:
+    ``{p}y_hat = alpha_t + beta_t * x_t`` (no alpha when
+    intercept=False) and ``{p}resid = y_t - y_hat_t``, NULL wherever
+    the fit itself is gated (min_obs / degenerate Sxx).
+
+    The residual stream is the anomaly-detection view of rolling OLS —
+    |resid| spiking against its own rolling sd flags a structural
+    break in the series (an agent leaving a loop, a latency regime
+    change) — and costs NOTHING beyond the fit: pure projections over
+    the same single WindowExec (verified: plan shape identical to
+    roll_lm's).
+    """
+    fitted = roll_lm(
+        df, x, y, by, order, width, intercept=intercept,
+        min_obs=min_obs, weights=weights, out_prefix=out_prefix,
+    )
+    p = out_prefix
+    yhat = F.col(p + "coef_x") * F.col(x)
+    if intercept:
+        yhat = yhat + F.col(p + "intercept")
+    return fitted.withColumns(
+        {p + "y_hat": yhat, p + "resid": F.col(y) - yhat}
+    )

@@ -68,3 +68,29 @@ def test_lm_matches_classic_ols(spark, grid_df, grid_pairs):
         assert np.isclose(got_se[i], se, rtol=1e-8), i
         sea = np.sqrt(ss_res / (width - 2) * (1 / width + wx.mean() ** 2 / sxx))
         assert np.isclose(got_sea[i], sea, rtol=1e-8), i
+
+
+def test_lm_predict_identity_and_plan(spark, grid_df):
+    """y_hat == alpha + beta*x and resid == y - y_hat wherever the fit
+    exists, NULL where gated; the projections add ZERO WindowExec over
+    the bare fit."""
+    from roll_spark.operators.lm import roll_lm, roll_lm_predict
+
+    fit = roll_lm(grid_df, "x", "y", "series_id", "i", 10, min_obs=5)
+    pred = roll_lm_predict(grid_df, "x", "y", "series_id", "i", 10,
+                           min_obs=5)
+    f = {(r.series_id, r.i): r for r in fit.collect()}
+    for r in pred.collect():
+        base = f[(r.series_id, r.i)]
+        if base.lm_coef_x is None or r.x is None:
+            assert r.lm_y_hat is None and r.lm_resid is None
+        else:
+            want = base.lm_intercept + base.lm_coef_x * r.x
+            assert r.lm_y_hat == pytest.approx(want, rel=0, abs=1e-12)
+            if r.y is None:
+                assert r.lm_resid is None
+            else:
+                assert r.lm_resid == pytest.approx(r.y - want, rel=0, abs=1e-12)
+    plan_fit = fit._jdf.queryExecution().executedPlan().toString()
+    plan_pred = pred._jdf.queryExecution().executedPlan().toString()
+    assert plan_pred.count("Window [") == plan_fit.count("Window [")
