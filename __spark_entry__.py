@@ -473,6 +473,47 @@ def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5,
     )
 
 
+def q_stream_sessionize_1h(spark, sf_dir):
+    """STATEFUL STREAMING sessionization: gap>1h session ids assigned
+    incrementally, the (last event time, session counter) 2-float carry
+    persisted across micro-batches. Same four-file time-split harness
+    as the stream_roll gates; the oracle is the batch lag + prefix-sum
+    SQL — the driver hash proves streamed ids equal batch sessionize
+    row for row."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window as W_
+
+    from roll_spark.streaming.sessions import stream_sessionize
+
+    base = tempfile.mkdtemp(prefix="roll_stream_sess_")
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    parts = ev.withColumn("part", F.ntile(4).over(W_.orderBy("ts")))
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    now = _time.time()
+    for i in range(1, 5):
+        d = f"{base}/w{i}"
+        parts.filter(F.col("part") == i).drop("part").coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        dst = f"{src}/t{i}.parquet"
+        _shutil.copy(_glob.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_sessionize(sdf, "user_id", "ts", 3600.0)
+    q = (out.writeStream.format("memory").queryName("stream_sess_gate")
+         .outputMode("append")
+         .option("checkpointLocation", f"{base}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table("stream_sess_gate").select("user_id", "ts", "session_id")
+
+
 def q_stream_roll_quantile_w10(spark, sf_dir):
     """STATEFUL STREAMING rolling quantile: the O(log w)/row online
     dual-multiset kernel's state (both multisets + window history)
@@ -1525,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "asof_join_events": q_asof_join_events,
         "roll_lm_predict_w20": q_roll_lm_predict_w20,
+        "stream_sessionize_1h": q_stream_sessionize_1h,
     }
 
 
@@ -2764,6 +2806,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+        "stream_sessionize_1h": """
+            SELECT user_id, ts,
+              CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+            FROM (SELECT user_id, ts,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)""",
         "sessionize_1h": """
             SELECT event_id, user_id, ts,
               CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR

@@ -104,3 +104,60 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
         same = (g == want) | (np.isnan(g) & np.isnan(want))
         ok = same | np.isclose(g, want, rtol=0, atol=1e-9)
         assert ok.all(), (op, c, np.where(~ok)[0][:5])
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """Streamed session ids == batch sessionize over the union, with
+    session boundaries landing both inside micro-batches and exactly ON
+    the batch seams, plus an exact-gap tie (gap == threshold => SAME
+    session, the batch strict-> rule)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from roll_spark.plans.sessions import sessionize
+    from roll_spark.streaming.sessions import stream_sessionize
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(6):
+        t = 0.0
+        for k in range(40):
+            # mix: small gaps, exact-threshold gaps, and big jumps
+            t += float(rng.choice([60.0, 1800.0, 3600.0, 3601.0, 20000.0]))
+            rows.append((f"c{c}", t))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts_s"])
+    df = spark.createDataFrame(pdf)
+
+    want = {(r.conv_id, r.ts_s): r.session_id for r in
+            sessionize(df, "conv_id", "ts_s", 3600.0).collect()}
+
+    # four time-split files, drained one per micro-batch
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _time.time()
+    qs = pdf.ts_s.quantile([0.25, 0.5, 0.75]).tolist()
+    bounds = [-np.inf] + qs + [np.inf]
+    for i in range(4):
+        part = pdf[(pdf.ts_s > bounds[i]) & (pdf.ts_s <= bounds[i + 1])]
+        d = str(tmp_path / f"w{i}")
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(d)
+        dst = f"{src}/t{i}.parquet"
+        shutil.copy(glob.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (now - 60 + i, now - 60 + i))
+
+    sdf = spark.readStream.schema("conv_id string, ts_s double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_sessionize(sdf, "conv_id", "ts_s", 3600.0)
+    q = (out.writeStream.format("memory").queryName("sess_stream_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.conv_id, r.ts_s): r.session_id
+           for r in spark.table("sess_stream_t").collect()}
+    assert got == want
