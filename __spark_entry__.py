@@ -127,6 +127,31 @@ def q_roll_quantile_p25_w10(spark, sf_dir):
     return _sel(df, "s", "q25")
 
 
+def q_roll_iqr_w10(spark, sf_dir):
+    """Rolling interquartile range — both exact-HF2 quartiles off the
+    fused roll_quantiles single sorted window (as expensive as one
+    rolling median)."""
+    from roll_spark.operators.moments import roll_iqr
+
+    df = roll_iqr(_events(spark, sf_dir), "value", "user_id", "ts", 10,
+                  min_obs=1, out="s")
+    return _sel(df, "s", "iqr10")
+
+
+def q_tier_1h_histogram(spark, sf_dir):
+    """Per-(user, hour) equi-width value histogram (20 bins over
+    [0, 500], edge-clamped): ONE partial-agg groupBy; counts are
+    mergeable by addition across retention tiers."""
+    from roll_spark.plans.tiers import tier_histogram
+
+    h = tier_histogram(_events(spark, sf_dir), "value", "ts", "user_id",
+                       "1h", lo=0.0, hi=500.0, n_bins=20)
+    return h.select(
+        "user_id", F.col("bucket_ts").cast("timestamp").alias("bucket_ts"),
+        "bin", "cnt", "bin_lo", "bin_hi",
+    )
+
+
 def q_roll_idxmin_w10(spark, sf_dir):
     df = roll_idxmin(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=1, out="s")
     return df.select("user_id", "ts", F.col("s").alias("idxmin10"))
@@ -1567,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "roll_lm_predict_w20": q_roll_lm_predict_w20,
         "stream_sessionize_1h": q_stream_sessionize_1h,
+        "roll_iqr_w10": q_roll_iqr_w10,
+        "tier_1h_histogram": q_tier_1h_histogram,
     }
 
 
@@ -2343,6 +2370,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "roll_median_w400": _HF2.format(w=W.format(pre=399), q=0.5, alias="med400"),
         "roll_quantile_p25_w10": _HF2.format(w=_W10, q=0.75, alias="q25"),
+        "roll_iqr_w10": f"""
+            WITH win AS (
+              SELECT user_id, ts, list(value) OVER ({_W10}) AS l
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, list_sort(l) AS sl, len(l) AS n,
+                     GREATEST(1, CAST(ceil(n * 0.75 - 1e-9) AS BIGINT)) AS c25,
+                     GREATEST(1, CAST(ceil(n * 0.25 - 1e-9) AS BIGINT)) AS c75
+              FROM win
+            ), q AS (
+              SELECT user_id, ts,
+                CASE WHEN abs(c25::DOUBLE / n - 0.75) <= 1.4901161193847656e-08
+                          AND n - c25 >= 1
+                     THEN (sl[n - c25 + 1] + sl[n - c25]) / 2.0
+                     ELSE sl[n - c25 + 1] END AS q25,
+                CASE WHEN abs(c75::DOUBLE / n - 0.25) <= 1.4901161193847656e-08
+                          AND n - c75 >= 1
+                     THEN (sl[n - c75 + 1] + sl[n - c75]) / 2.0
+                     ELSE sl[n - c75 + 1] END AS q75
+              FROM s
+            )
+            SELECT user_id, ts, ROUND(1e-7 + q75 - q25, 6) AS iqr10 FROM q""",
+        "tier_1h_histogram": """
+            WITH b AS (
+              SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+                     CAST(LEAST(GREATEST(floor((value - 0.0) / 25.0), 0), 19) AS INT) AS bin
+              FROM events WHERE value IS NOT NULL)
+            SELECT user_id, bucket_ts, bin, count(*) AS cnt,
+                   0.0 + bin * 25.0 AS bin_lo,
+                   0.0 + (bin + 1) * 25.0 AS bin_hi
+            FROM b GROUP BY 1, 2, 3""",
         "roll_idxmin_w10": """
             WITH t AS (
               SELECT user_id, ts, value,

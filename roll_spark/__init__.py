@@ -32,6 +32,7 @@ from roll_spark.operators.arrow_ops import (
 from roll_spark.operators.moments import (
     roll_acf,
     roll_entropy,
+    roll_iqr,
     roll_trimmed_mean,
     roll_kurt,
     roll_nunique,
@@ -98,6 +99,7 @@ __all__ = [
     "roll_trimmed_mean",
     "roll_spearman",
     "roll_entropy",
+    "roll_iqr",
     "ewma_time",
     "roll_time",
 ]

@@ -559,3 +559,33 @@ def roll_entropy(
     )
     n_obs = F.count(v).over(w)
     return df.withColumn(out, gate(spec, v, h, n_obs)).drop("__ent_l")
+
+
+def roll_iqr(
+    df: DataFrame,
+    value: str,
+    by: Cols,
+    order: Cols,
+    width: int,
+    *,
+    min_obs: int | None = None,
+    weights: "Sequence[float] | None" = None,
+    out: str = "iqr",
+) -> DataFrame:
+    """Rolling interquartile range (exact HF2 q75 - q25) — the robust
+    scale twin of roll_sd (MAD's rank-based sibling), at the cost of
+    ONE sorted window per row: both quartiles come off the fused
+    roll_quantiles table lookup, so this is exactly as expensive as a
+    single rolling median (same single WindowExec / one Arrow pass).
+    """
+    from roll_spark.operators.window_ops import roll_quantiles
+
+    q = roll_quantiles(
+        df, value, by, order, width, (0.25, 0.75),
+        min_obs=min_obs, weights=weights,
+        outs=("__iqr_q25", "__iqr_q75"),
+    )
+    return (
+        q.withColumn(out, F.col("__iqr_q75") - F.col("__iqr_q25"))
+        .drop("__iqr_q25", "__iqr_q75")
+    )

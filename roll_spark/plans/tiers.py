@@ -324,3 +324,46 @@ def realtime_view(
         bucket_out=bucket_out,
     )
     return old.select(fresh.columns).unionByName(fresh)
+
+
+def tier_histogram(
+    df: DataFrame,
+    value: str,
+    ts: str,
+    by: Cols,
+    tier: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    bucket_out: str = "bucket_ts",
+) -> DataFrame:
+    """Per-(series, bucket) equi-width value histogram: bin index =
+    floor((v - lo) / step) clamped to [0, n_bins-1] (out-of-range
+    values land in the edge bins, so counts always total n).
+
+    Histogram counts are MERGEABLE by addition — the same
+    continuous-aggregate contract as the moment tiers: a 1h histogram
+    is the bin-wise sum of its 1m histograms, so the distribution view
+    cascades through retention tiers without touching raw again.
+
+    Plan shape: ONE groupBy on (series, bucket, bin) with map-side
+    partial aggregation; output is at most n_bins rows per (series,
+    bucket) regardless of input size. The bin arithmetic is a single
+    IEEE-double division + floor, identical on any engine — no
+    binning-boundary drift vs the SQL oracle.
+    """
+    if not (n_bins > 0 and hi > lo):
+        raise ValueError("need n_bins > 0 and hi > lo")
+    v = F.col(value)
+    step = (float(hi) - float(lo)) / int(n_bins)
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(step))
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(n_bins) - 1))
+    keys = [*_as_list(by), bucket_col(F.col(ts), tier).alias(bucket_out)]
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, bin_.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(step))
+        .withColumn("bin_hi", F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(step))
+    )

@@ -559,3 +559,32 @@ def test_entropy_loop_detection(spark):
         .toPandas().sort_values("t")["h"].to_numpy(dtype=np.float64)
     assert got[19] > 1.3  # varied phase: near ln(4)
     assert got[-1] == 0.0  # loop phase: pure repetition
+
+
+def test_roll_iqr_equals_separate_quantiles(spark):
+    """IQR off the fused window == roll_quantile(0.75) - roll_quantile(0.25)
+    computed separately, NULL gating identical."""
+    import numpy as np
+    import pandas as pd
+
+    from roll_spark import roll_iqr, roll_quantile
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "sid": np.repeat(np.arange(6), 200),
+        "i": np.tile(np.arange(200), 6),
+        "v": np.round(rng.normal(50, 20, 1200), 2),
+    })
+    pdf.loc[rng.random(1200) < 0.1, "v"] = None
+    df = spark.createDataFrame(pdf)
+    got = {(r.sid, r.i): r.iqr for r in
+           roll_iqr(df, "v", "sid", "i", 10, min_obs=5, out="iqr").collect()}
+    lo = {(r.sid, r.i): r.q for r in
+          roll_quantile(df, "v", "sid", "i", 10, 0.25, min_obs=5, out="q").collect()}
+    hi = {(r.sid, r.i): r.q for r in
+          roll_quantile(df, "v", "sid", "i", 10, 0.75, min_obs=5, out="q").collect()}
+    for k, g in got.items():
+        if lo[k] is None:
+            assert g is None, k
+        else:
+            assert g == pytest.approx(hi[k] - lo[k], rel=0, abs=1e-12), k

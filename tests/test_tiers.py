@@ -191,3 +191,29 @@ def test_realtime_view_equals_full_rollup(spark, tdf):
                 assert g == pytest.approx(w, rel=0, abs=1e-9), (k, c)
             else:
                 assert g == w, (k, c)
+
+
+def test_tier_histogram_totals_and_merge(spark, tdf):
+    """Histogram counts per (series, bucket) total the bucket's row
+    count, edge values clamp into the boundary bins, and the 1h
+    histogram equals the bin-wise SUM of 1m histograms (mergeability —
+    the continuous-aggregate contract for distributions)."""
+    h1m = T.tier_histogram(tdf, "text_len", "ts", "conv_id", "1m",
+                           lo=0.0, hi=400.0, n_bins=8)
+    h1h = T.tier_histogram(tdf, "text_len", "ts", "conv_id", "1h",
+                           lo=0.0, hi=400.0, n_bins=8)
+    direct = {(r.conv_id, r.bucket_ts, r.bin): r.cnt for r in h1h.collect()}
+    merged: dict = {}
+    for r in h1m.collect():
+        k = (r.conv_id, r.bucket_ts.replace(minute=0, second=0, microsecond=0),
+             r.bin)
+        merged[k] = merged.get(k, 0) + r.cnt
+    assert merged == direct
+    # totals == per-bucket row counts
+    totals: dict = {}
+    for (cid, b, _bin), c in direct.items():
+        totals[(cid, b)] = totals.get((cid, b), 0) + c
+    want = {(r.conv_id, r.b): r.n for r in
+            tdf.groupBy("conv_id", F.date_trunc("hour", "ts").alias("b"))
+               .agg(F.count("text_len").alias("n")).collect()}
+    assert totals == want
