@@ -152,6 +152,21 @@ def q_tier_1h_histogram(spark, sf_dir):
     )
 
 
+def q_tier_1h_nunique(spark, sf_dir):
+    """Exact distinct event types per (user, hour) — cardinality
+    telemetry; two-phase distinct aggregate (map-side dedup). The
+    mergeable HLL-sketch twin (tier_hll_sketch/merge_hll_tier) is
+    pytest-gated: sketches aren't comparable across engines."""
+    from roll_spark.plans.tiers import tier_nunique
+
+    h = tier_nunique(_events(spark, sf_dir), "event_type", "ts",
+                     "user_id", "1h")
+    return h.select(
+        "user_id", F.col("bucket_ts").cast("timestamp").alias("bucket_ts"),
+        "n_unique",
+    )
+
+
 def q_roll_idxmin_w10(spark, sf_dir):
     df = roll_idxmin(_events(spark, sf_dir), "value", "user_id", "ts", 10, min_obs=1, out="s")
     return df.select("user_id", "ts", F.col("s").alias("idxmin10"))
@@ -1594,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_1h": q_stream_sessionize_1h,
         "roll_iqr_w10": q_roll_iqr_w10,
         "tier_1h_histogram": q_tier_1h_histogram,
+        "tier_1h_nunique": q_tier_1h_nunique,
     }
 
 
@@ -2392,6 +2408,10 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT user_id, ts, ROUND(1e-7 + q75 - q25, 6) AS iqr10 FROM q""",
+        "tier_1h_nunique": """
+            SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+                   count(DISTINCT event_type) AS n_unique
+            FROM events GROUP BY 1, 2""",
         "tier_1h_histogram": """
             WITH b AS (
               SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,

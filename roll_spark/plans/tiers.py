@@ -367,3 +367,76 @@ def tier_histogram(
         .withColumn("bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(step))
         .withColumn("bin_hi", F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(step))
     )
+
+
+def tier_nunique(
+    df: DataFrame,
+    col: str,
+    ts: str,
+    by: Cols,
+    tier: str,
+    *,
+    bucket_out: str = "bucket_ts",
+    out: str = "n_unique",
+) -> DataFrame:
+    """EXACT distinct-value count per (series, bucket) — cardinality
+    telemetry (distinct tools/event types per conversation-hour).
+
+    Exact distincts are NOT additive across tiers; Catalyst plans this
+    as the standard two-phase expand (partial dedup on (series, bucket,
+    value) map-side, then count) so the shuffle carries one row per
+    distinct value per partition, never the raw stream. For the
+    mergeable-across-tiers version use tier_hll_sketch.
+    """
+    keys = [*_as_list(by), bucket_col(F.col(ts), tier).alias(bucket_out)]
+    return df.groupBy(*keys).agg(F.count_distinct(F.col(col)).alias(out))
+
+
+def tier_hll_sketch(
+    df: DataFrame,
+    col: str,
+    ts: str,
+    by: Cols,
+    tier: str,
+    *,
+    lg_k: int = 12,
+    bucket_out: str = "bucket_ts",
+    out: str = "hll",
+) -> DataFrame:
+    """MERGEABLE cardinality per (series, bucket): Apache DataSketches
+    HLL (Spark's built-in hll_sketch_agg) as a binary sketch column —
+    the continuous-aggregate form of tier_nunique. Coarser tiers merge
+    with :func:`merge_hll_tier` (hll_union_agg) WITHOUT touching raw,
+    the same cascade shape as the moment tiers; estimates off merged
+    sketches equal estimates computed directly at the coarser tier
+    (tested in test_tiers). ~0.8% relative error at lg_k=12 / 2.5 KB
+    per sketch.
+
+    Type contract (Spark's hll_sketch_agg): ``col`` must be
+    int/bigint/string/binary — cast integral-valued doubles to bigint,
+    format true reals to strings, at the call site."""
+    keys = [*_as_list(by), bucket_col(F.col(ts), tier).alias(bucket_out)]
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias(out)
+    )
+
+
+def merge_hll_tier(
+    sketches: DataFrame,
+    by: Cols,
+    tier: str,
+    *,
+    bucket_in: str = "bucket_ts",
+    bucket_out: str = "bucket_ts",
+    col: str = "hll",
+) -> DataFrame:
+    """Chan-merge twin for HLL sketches: union finer-tier sketches into
+    the coarser bucket (one partial-agg groupBy, raw never re-read)."""
+    keys = [*_as_list(by), bucket_col(F.col(bucket_in), tier).alias(bucket_out)]
+    return sketches.groupBy(*keys).agg(F.hll_union_agg(F.col(col)).alias(col))
+
+
+def hll_estimate(sketches: DataFrame, col: str = "hll",
+                 out: str = "n_unique_est") -> DataFrame:
+    """Attach the cardinality estimate column to a sketch tier."""
+    return sketches.withColumn(out, F.hll_sketch_estimate(F.col(col)))

@@ -217,3 +217,25 @@ def test_tier_histogram_totals_and_merge(spark, tdf):
             tdf.groupBy("conv_id", F.date_trunc("hour", "ts").alias("b"))
                .agg(F.count("text_len").alias("n")).collect()}
     assert totals == want
+
+
+def test_tier_hll_merge_equals_direct(spark, tdf):
+    """HLL cascade contract: estimates off 1m sketches MERGED to 1h
+    equal estimates off sketches built directly at 1h (DataSketches
+    union is exact over sketch state, not approximate-on-approximate),
+    and both are within the documented error band of the exact counts."""
+    # DataSketches HLL takes int/bigint/string/binary (Spark contract);
+    # text_len is an integral-valued double -> exact bigint cast
+    t = tdf.withColumn("tl", F.col("text_len").cast("bigint"))
+    h1m = T.tier_hll_sketch(t, "tl", "ts", "conv_id", "1m")
+    merged = T.hll_estimate(T.merge_hll_tier(h1m, "conv_id", "1h"))
+    direct = T.hll_estimate(
+        T.tier_hll_sketch(t, "tl", "ts", "conv_id", "1h"))
+    m = {(r.conv_id, r.bucket_ts): r.n_unique_est for r in merged.collect()}
+    d = {(r.conv_id, r.bucket_ts): r.n_unique_est for r in direct.collect()}
+    assert m == d
+    exact = {(r.conv_id, r.bucket_ts): r.n_unique for r in
+             T.tier_nunique(t, "tl", "ts", "conv_id", "1h").collect()}
+    assert exact.keys() == d.keys()
+    for k, e in exact.items():
+        assert abs(d[k] - e) <= max(2, 0.05 * e), (k, d[k], e)
