@@ -2418,8 +2418,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(LEAST(GREATEST(floor((value - 0.0) / 25.0), 0), 19) AS INT) AS bin
               FROM events WHERE value IS NOT NULL)
             SELECT user_id, bucket_ts, bin, count(*) AS cnt,
-                   0.0 + bin * 25.0 AS bin_lo,
-                   0.0 + (bin + 1) * 25.0 AS bin_hi
+                   0.0::DOUBLE + bin * 25.0::DOUBLE AS bin_lo,
+                   0.0::DOUBLE + (bin + 1) * 25.0::DOUBLE AS bin_hi
             FROM b GROUP BY 1, 2, 3""",
         "roll_idxmin_w10": """
             WITH t AS (

@@ -123,6 +123,14 @@ EXPECT = {
     # vocab join broadcasts, the rank window gets a partial
     # WindowGroupLimit (its own map-side sort) below the exchange
     "doc_tfidf_top5": dict(max_exchange=4, max_sort=2, max_window=1),
+    # IQR: both quartiles off ONE fused sorted window
+    "roll_iqr_w10": dict(max_exchange=1, max_sort=1, max_window=1),
+    # histograms: one partial-agg groupBy, sort-free
+    "tier_1h_histogram": dict(max_exchange=1, max_sort=0, max_window=0),
+    # exact distincts: two-phase expand (partial dedup + count)
+    "tier_1h_nunique": dict(max_exchange=2, max_sort=0, max_window=0),
+    # prediction/residual = projections over the bare roll_lm fit
+    "roll_lm_predict_w20": dict(max_exchange=1, max_sort=1, max_window=2),
 }
 
 
