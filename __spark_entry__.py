@@ -1379,6 +1379,19 @@ def q_ewma_halflife_7d(spark, sf_dir):
     return _sel(df, "e", "ewma7d")
 
 
+def q_decayed_count_1d(spark, sf_dir):
+    """Time-decayed event count (halflife 1 day): the recency/activity
+    score of each user's event stream — ln2/halflife * count estimates
+    instantaneous events/sec. Same blocked O(n) kernel as ewma_time
+    (its denominator); oracle replays the shift-invariant closed form
+    sum(e_j)/e_i."""
+    from roll_spark.operators.time_windows import decayed_count
+
+    df = decayed_count(_events(spark, sf_dir), "user_id", "ts", 86400.0,
+                       min_obs=1, out="d")
+    return _sel(df, "d", "dcount1d")
+
+
 def q_tier_1h_ohlc(spark, sf_dir):
     """OHLC downsample bars per (user, hour): open/high/low/close read
     straight off the mergeable tier sufficient stats (first/last/min/
@@ -1610,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_iqr_w10": q_roll_iqr_w10,
         "tier_1h_histogram": q_tier_1h_histogram,
         "tier_1h_nunique": q_tier_1h_nunique,
+        "decayed_count_1d": q_decayed_count_1d,
     }
 
 
@@ -1978,6 +1992,19 @@ def _datapipe_oracles() -> dict[str, str]:
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 / sum(e) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ewma7d
+            FROM t""",
+        "decayed_count_1d": """
+            WITH t AS (
+              SELECT user_id, ts,
+                exp(0.6931471805599453 / 86400.0 *
+                    ((epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 1e6)) AS e
+              FROM events
+            )
+            SELECT user_id, ts,
+              ROUND(1e-7 +
+                sum(e) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / e, 6) AS dcount1d
             FROM t""",
         "stream_ewma_halflife_7d": """
             WITH t AS (

@@ -41,7 +41,7 @@ from roll_spark.operators.moments import (
     roll_skew_kurt,
     roll_spearman,
 )
-from roll_spark.operators.time_windows import ewma_time, roll_time
+from roll_spark.operators.time_windows import decayed_count, ewma_time, roll_time
 from roll_spark.operators.window_ops import (
     roll_all,
     roll_any,
@@ -101,6 +101,7 @@ __all__ = [
     "roll_entropy",
     "roll_iqr",
     "ewma_time",
+    "decayed_count",
     "roll_time",
 ]
 

@@ -1160,7 +1160,8 @@ def conv_ewma_time(x, t_us, halflife_s, min_obs=1, na_restore=False):
     return _restore(out, np.asarray(x, dtype=np.float64), na_restore)
 
 
-def online_ewma_time(x, t_us, halflife_s, min_obs=1, state=None):
+def online_ewma_time(x, t_us, halflife_s, min_obs=1, state=None,
+                     emit="ratio"):
     """State-carrying form of :func:`conv_ewma_time` for streaming:
     the carry is THREE numbers — (num, den) valued at the last seen
     timestamp plus the running observed count — so a live transcript
@@ -1201,13 +1202,32 @@ def online_ewma_time(x, t_us, halflife_s, min_obs=1, state=None):
         decay = np.exp(-lam * (tb - t_c))       # carry decayed to each row
         num = num_c * decay + num_w
         den = den_c * decay + den_w
-        with np.errstate(invalid="ignore", divide="ignore"):
-            res = np.where(den > 0.0, num / den, np.nan)
+        if emit == "count":
+            # the denominator IS the decayed observation count
+            res = den
+        else:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                res = np.where(den > 0.0, num / den, np.nan)
         out[b0:b1] = np.where(obs_cum[b0:b1] >= max(min_obs, 1), res, np.nan)
         num_c, den_c, t_c = float(num[-1]), float(den[-1]), float(tb[-1])
         b0 = b1
     return out, {"num": num_c, "den": den_c, "t": t_c,
                  "n_obs": obs0 + int(obs.sum())}
+
+
+
+def conv_decayed_count(t_us, halflife_s, min_obs=1):
+    """Time-decayed event count: S_i = sum_{j<=i} 2^(-(t_i - t_j)/halflife)
+    over the series' events — the activity/recency score of an event
+    stream (agent turn rate, error burst detection). For a Poisson
+    stream of rate r, E[S] = r/lam (lam = ln2/halflife), so the
+    instantaneous rate estimate is lam * S events/sec. Same blocked
+    rebased-cumsum scan as conv_ewma_time — this is its denominator —
+    so O(n)/series and overflow-free at any halflife."""
+    ones = np.ones(len(t_us), dtype=np.float64)
+    out, _ = online_ewma_time(ones, t_us, halflife_s, min_obs=min_obs,
+                              emit="count")
+    return out
 
 
 def conv_percentrank(x, width, weights=None, min_obs=None, na_restore=False):

@@ -139,3 +139,45 @@ def ewma_time(
     res = _apply_kernel(df, [value, t_us], [*_as_list(by)], [order, ],
                         [(out, "double")], kernel)
     return res.drop(t_us)
+
+
+def decayed_count(
+    df: DataFrame,
+    by: Cols,
+    order: str,
+    halflife_s: float,
+    *,
+    min_obs: int = 1,
+    max_group_rows: int | None = None,
+    out: str = "decayed_n",
+) -> DataFrame:
+    """Time-decayed event count per series: each row's statistic is
+    sum over prior events of ``2^(-(t_i - t_j)/halflife)`` — the
+    recency/activity score of an event stream (agent turn rate, error
+    burst detection). For a Poisson stream of rate r the expectation is
+    r·halflife/ln2, so ``ln2/halflife * decayed_n`` estimates the
+    instantaneous events/sec.
+
+    Expanding like ewma_time (same O(n)/O(1)-state blocked kernel =
+    its denominator), so ``max_group_rows`` chunking is rejected for
+    the same reason."""
+    if max_group_rows is not None:
+        raise ValueError(
+            "decayed_count is expanding: overlap-padded chunking cannot "
+            "bound its prefix dependence; run the series whole (O(n) kernel)"
+        )
+    from roll_spark.operators.arrow_ops import _apply_kernel
+    from roll_spark.operators import kernels as K
+
+    t_us = "__roll_t_us"
+    df = df.withColumn(t_us, _epoch_micros(df, order))
+
+    def kernel(pdf):
+        import numpy as np
+
+        t = pdf[t_us].to_numpy(dtype=np.int64)
+        return {out: K.conv_decayed_count(t, halflife_s, min_obs=min_obs)}
+
+    res = _apply_kernel(df, [t_us], [*_as_list(by)], [order, ],
+                        [(out, "double")], kernel)
+    return res.drop(t_us)

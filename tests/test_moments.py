@@ -588,3 +588,55 @@ def test_roll_iqr_equals_separate_quantiles(spark):
             assert g is None, k
         else:
             assert g == pytest.approx(hi[k] - lo[k], rel=0, abs=1e-12), k
+
+
+def test_decayed_count_matches_naive_and_blocking_invariant():
+    """conv_decayed_count vs the O(n²) definition, across timestamp
+    spans that force multiple kernel blocks (span-capped exponents)."""
+    import numpy as np
+
+    from roll_spark.operators import kernels as K
+
+    rng = np.random.default_rng(5)
+    for span_days in (0.5, 40.0, 4000.0):
+        n = 300
+        t = np.sort(rng.integers(0, int(span_days * 86400e6), n)).astype(np.int64)
+        hl = 86400.0
+        got = K.conv_decayed_count(t, hl)
+        lam = np.log(2.0) / hl
+        ts = t / 1e6
+        want = np.array([np.exp(-lam * (ts[i] - ts[: i + 1])).sum()
+                         for i in range(n)])
+        assert np.allclose(got, want, rtol=5e-12, atol=0), span_days
+
+
+def test_decayed_count_spark(spark):
+    """Spark operator == kernel per series; rate identity lam*S."""
+    import numpy as np
+    import pandas as pd
+
+    from roll_spark.operators import kernels as K
+    from roll_spark.operators.time_windows import decayed_count
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for c in range(4):
+        t = np.sort(rng.integers(0, 10 * 86400 * 10**6, 150))
+        for v in t:
+            rows.append((f"c{c}", int(v)))
+    pdf = pd.DataFrame(rows, columns=["cid", "t_s"])
+    pdf["t_s"] = pdf.t_s / 1e6  # numeric order column = SECONDS
+    df = spark.createDataFrame(pdf)
+    out = decayed_count(df, "cid", "t_s", 86400.0, out="d").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.cid, []).append((r.t_s, r.d))
+    for cid, pairs in got.items():
+        pairs.sort()
+        t_us = np.round(np.array([p[0] for p in pairs]) * 1e6).astype(np.int64)
+        want = K.conv_decayed_count(t_us, 86400.0)
+        assert np.allclose([p[1] for p in pairs], want, rtol=1e-12)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decayed_count(df, "cid", "t_s", 86400.0, max_group_rows=100)
