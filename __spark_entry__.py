@@ -887,6 +887,27 @@ def q_gapfill_linear_1h(spark, sf_dir):
     )
 
 
+def q_roll_range_multi_1h(spark, sf_dir):
+    """Trailing-1h time window, FIVE aggregates (sum/min/max/sd + count)
+    off ONE shared RANGE frame — the fused single-WindowExec form of
+    the duration-window family."""
+    from roll_spark.operators.time_windows import roll_time
+
+    df = roll_time(
+        _events(spark, sf_dir).select("user_id", "ts", "value"),
+        "value", "user_id", "ts", 3600.0,
+        aggs=["sum", "min", "max", "sd", "count"], min_obs=2,
+    )
+    return df.select(
+        "user_id", "ts",
+        _r6("t_sum").alias("tsum_1h"),
+        F.col("t_min").alias("tmin_1h"),
+        F.col("t_max").alias("tmax_1h"),
+        _r6("t_sd").alias("tsd_1h"),
+        F.col("t_count").alias("tcount_1h"),
+    )
+
+
 def q_roll_mean_range_1h(spark, sf_dir):
     """Trailing-1h TIME-windowed mean+count (RANGE frame, not row-count;
     oracle: DuckDB RANGE BETWEEN INTERVAL 1 HOUR PRECEDING)."""
@@ -1624,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1h_histogram": q_tier_1h_histogram,
         "tier_1h_nunique": q_tier_1h_nunique,
         "decayed_count_1d": q_decayed_count_1d,
+        "roll_range_multi_1h": q_roll_range_multi_1h,
     }
 
 
@@ -2903,6 +2925,20 @@ def oracle_sql() -> dict[str, str]:
               ROUND(1e-7 + CASE WHEN count(value) OVER ({_W10}) >= 5
                     THEN avg(value) OVER ({_W10}) END, 6) AS cmean10
             FROM events""",
+        "roll_range_multi_1h": """
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER w >= 2
+                    THEN sum(value) OVER w END, 6) AS tsum_1h,
+              CASE WHEN count(value) OVER w >= 2
+                   THEN min(value) OVER w END AS tmin_1h,
+              CASE WHEN count(value) OVER w >= 2
+                   THEN max(value) OVER w END AS tmax_1h,
+              ROUND(1e-7 + CASE WHEN count(value) OVER w >= 2
+                    THEN stddev_samp(value) OVER w END, 6) AS tsd_1h,
+              count(value) OVER w AS tcount_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
         "roll_mean_range_1h": """
             SELECT user_id, ts,
               ROUND(1e-7 + CASE WHEN count(value) OVER w >= 5

@@ -70,6 +70,8 @@ EXPECT = {
     ),
     # time-range window: same shape as the row-count ops (RANGE frame)
     "roll_mean_range_1h": dict(max_exchange=1, max_sort=1, max_window=1),
+    # five aggregates fused onto ONE shared RANGE frame
+    "roll_range_multi_1h": dict(max_exchange=1, max_sort=1, max_window=1),
     # sessionize: lag + prefix-sum share ONE exchange + ONE sort
     # (two frame kinds -> up to two WindowExec nodes, zero extra shuffles)
     "sessionize_1h": dict(max_exchange=1, max_sort=1, max_window=2),
