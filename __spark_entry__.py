@@ -1535,9 +1535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. queries whose implementation changed this round (as-of
     #      tolerance -> exact int64 us; winnow cache eviction;
     #      streaming module edit);
-    #   4. the 38 entries whose latest driver evidence is r1/r2 — all
-    #      rotated back inside the window;
-    #   5. tail past position 50: every r3-green entry
+    #   4. the entries whose latest driver evidence is r1/r2, rotated
+    #      back inside the window (31 of 38; the 7 thin ones whose
+    #      same-code-path sibling is in-window yielded their slots to
+    #      the late-r4 new operators, which had no driver row at all);
+    #   5. tail past position 50: every r3-green entry plus those 7
     #      (tools/crosscheck.py still value-verifies the full registry).
     return {
         "roll_mean_w10": q_roll_mean_w10,
@@ -1570,21 +1572,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_mean": q_expanding_mean,
         "tier_1m_stats": q_tier_1m_stats,
         "tier_1h_cascade": q_tier_1h_cascade,
-        "tier_1d_cascade": q_tier_1d_cascade,
+        "decayed_count_1d": q_decayed_count_1d,
         "roll_crossprod_w10": q_roll_crossprod_w10,
-        "roll_any_w10": q_roll_any_w10,
+        "roll_iqr_w10": q_roll_iqr_w10,
         "roll_cov_w10": q_roll_cov_w10,
-        "roll_cor_w10": q_roll_cor_w10,
+        "tier_1h_histogram": q_tier_1h_histogram,
         "roll_quantile_p25_w10": q_roll_quantile_p25_w10,
-        "roll_median_w5": q_roll_median_w5,
+        "roll_lm_predict_w20": q_roll_lm_predict_w20,
         "latency_roll_mean_w10": q_latency_roll_mean_w10,
-        "roll_idxmin_w10": q_roll_idxmin_w10,
+        "stream_sessionize_1h": q_stream_sessionize_1h,
         "roll_min_w10": q_roll_min_w10,
         "roll_max_w10": q_roll_max_w10,
         "roll_sd_w10": q_roll_sd_w10,
         "roll_all_w10": q_roll_all_w10,
         "roll_var_exp_w10": q_roll_var_exp_w10,
-        "roll_cov_exp_w10": q_roll_cov_exp_w10,
+        "tier_1h_nunique": q_tier_1h_nunique,
         "roll_sum_wlin_w5": q_roll_sum_wlin_w5,
         "roll_mean_narestore_w10": q_roll_mean_narestore_w10,
         "roll_quantile_exp_w10": q_roll_quantile_exp_w10,
@@ -1592,7 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_var_uncentered_w10": q_roll_var_uncentered_w10,
         "roll_lm_nointercept_w20": q_roll_lm_nointercept_w20,
         "gapfill_locf_1h": q_gapfill_locf_1h,
-        "gapfill_linear_1h": q_gapfill_linear_1h,
+        "roll_range_multi_1h": q_roll_range_multi_1h,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         # ---- position 50+: tail, all r3-driver-green ------------------
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -1638,14 +1640,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_quantile_w10": q_stream_roll_quantile_w10,
         "stream_roll_cov_w10": q_stream_roll_cov_w10,
         "dedup_exact": q_dedup_exact,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
+        "tier_1d_cascade": q_tier_1d_cascade,
+        "roll_cov_exp_w10": q_roll_cov_exp_w10,
+        "roll_cor_w10": q_roll_cor_w10,
+        "roll_any_w10": q_roll_any_w10,
+        "roll_idxmin_w10": q_roll_idxmin_w10,
+        "roll_median_w5": q_roll_median_w5,
         "asof_join_events": q_asof_join_events,
-        "roll_lm_predict_w20": q_roll_lm_predict_w20,
-        "stream_sessionize_1h": q_stream_sessionize_1h,
-        "roll_iqr_w10": q_roll_iqr_w10,
-        "tier_1h_histogram": q_tier_1h_histogram,
-        "tier_1h_nunique": q_tier_1h_nunique,
-        "decayed_count_1d": q_decayed_count_1d,
-        "roll_range_multi_1h": q_roll_range_multi_1h,
     }
 
 
