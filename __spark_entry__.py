@@ -839,10 +839,16 @@ def q_roll_var_uncentered_w10(spark, sf_dir):
     (reference center=FALSE branch, roll_vec.h:2171-2186)."""
     df = roll_var(_events(spark, sf_dir), "value", "user_id", "ts", 10,
                   min_obs=5, center=False, out="s")
-    # uncentered second moments sit at ~1e4 magnitude: cross-engine FP
-    # noise reaches ~1e-10 relative = ~1e-6 absolute, so a 3-decimal
-    # round can straddle; 2 decimals with a 1e-3 nudge dominates it
-    return df.select("user_id", "ts", F.round(F.col("s") + 1e-3, 2).alias("uvar10"))
+    # Rounding contract (sf0.1 lesson): the unrounded value sum(v^2)/(n-1)
+    # can be EXACTLY 3-decimal (4-decimal sums divide evenly by n-1), so a
+    # 1e-3 nudge lands it exactly ON the 2-dp half boundary, where Spark
+    # and DuckDB ROUND() disagree sub-ulp. The nudge must be OFF the
+    # data's decimal lattice: with 1.2345e-3, boundary - nudge needs 7
+    # decimals, which no 4-decimal sum over n-1 in 4..9 can produce. The
+    # oracle also sums v^2 via a frame-ORDERED list so both engines round
+    # the identical float64.
+    return df.select("user_id", "ts",
+                     F.round(F.col("s") + 1.2345e-3, 2).alias("uvar10"))
 
 
 def q_roll_mean_bykey_w10(spark, sf_dir):
@@ -2544,10 +2550,16 @@ def oracle_sql() -> dict[str, str]:
                     THEN sum(value * value_lag) OVER ({_W10}) END, 6) AS xprod10
             FROM t""",
         "roll_prod_w4": f"""
+            WITH t AS (
+              SELECT user_id, ts, value,
+                CASE WHEN value = 0 THEN 0.0 ELSE ln(value / 100.0) END AS lv,
+                CASE WHEN value = 0 THEN 1 ELSE 0 END AS z
+              FROM events)
             SELECT user_id, ts,
-              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W4}) >= 4
-                    THEN exp(sum(ln(value / 100.0)) OVER ({_W4})) END, 6) AS prod4
-            FROM events""",
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W4}) >= 4 THEN
+                CASE WHEN sum(z) OVER ({_W4}) > 0 THEN 0.0
+                     ELSE exp(sum(lv) OVER ({_W4})) END END, 6) AS prod4
+            FROM t""",
         "roll_any_w10": f"""
             SELECT user_id, ts,
               CAST(max(CASE WHEN value > 50 THEN 1 ELSE 0 END) OVER ({_W10}) AS INT)
@@ -2877,12 +2889,15 @@ def oracle_sql() -> dict[str, str]:
                     THEN corr(x, y) OVER ({_W10}) END, 6) AS rxy
             FROM m""",
         "roll_var_uncentered_w10": f"""
+            WITH winl AS (
+              SELECT user_id, ts,
+                     list(value * value) OVER ({_W10}) AS l2,
+                     count(value) OVER ({_W10}) AS n
+              FROM events)
             SELECT user_id, ts,
-              ROUND(1e-3 + CASE WHEN count(value) OVER ({_W10}) >= 5
-                         AND count(value) OVER ({_W10}) > 1
-                    THEN sum(value * value) OVER ({_W10})
-                         / (count(value) OVER ({_W10}) - 1) END, 2) AS uvar10
-            FROM events""",
+              ROUND(1.2345e-3 + CASE WHEN n >= 5 AND n > 1
+                    THEN list_sum(l2) / (n - 1) END, 2) AS uvar10
+            FROM winl""",
         "roll_mean_bykey_w10": """
             SELECT user_id, event_type, ts,
               ROUND(1e-7 + CASE WHEN count(value) OVER w >= 3
