@@ -272,8 +272,9 @@ def q_latency_roll_mean_w10(spark, sf_dir):
     )
     df = roll_mean(ev, "lat", "user_id", "ts", 10, min_obs=1, out="s")
     # latency means are ~1e4 s: round at millisecond grain so the nudge
-    # (1e-4) dominates cross-engine FP noise at this magnitude
-    return df.select("user_id", "ts", F.round(F.col("s") + 1e-4, 3).alias("lat_mean10"))
+    # (1.2345e-4, off the data's decimal lattice — see the
+    # uncentered-var comment) dominates cross-engine FP noise
+    return df.select("user_id", "ts", F.round(F.col("s") + 1.2345e-4, 3).alias("lat_mean10"))
 
 
 def q_tier_1m_stats(spark, sf_dir):
@@ -575,7 +576,7 @@ def q_stream_roll_cov_w10(spark, sf_dir):
     return _stream_roll_gate(
         spark, sf_dir, op="cov", min_obs=5, alias="cov10",
         qname="stream_roll_cov_gate", y="value * value / 100.0",
-        rnd=lambda c: F.round(c + F.lit(1e-4), 3),
+        rnd=lambda c: F.round(c + F.lit(1.2345e-4), 3),
     )
 
 
@@ -625,13 +626,13 @@ def q_roll_mean_exp_w10(spark, sf_dir):
 def q_roll_var_exp_w10(spark, sf_dir):
     df = roll_var(_events(spark, sf_dir), "value", "user_id", "ts", 10,
                   min_obs=5, weights=_EXP10, out="s")
-    return df.select("user_id", "ts", F.round(F.col("s") + 1e-4, 3).alias("wvar10"))
+    return df.select("user_id", "ts", F.round(F.col("s") + 1.2345e-4, 3).alias("wvar10"))
 
 
 def q_roll_cov_exp_w10(spark, sf_dir):
     df = roll_cov(_with_lag(spark, sf_dir), "value", "value_lag", "user_id", "ts", 10,
                   min_obs=5, weights=_EXP10, out="s")
-    return df.select("user_id", "ts", F.round(F.col("s") + 1e-4, 3).alias("wcov10"))
+    return df.select("user_id", "ts", F.round(F.col("s") + 1.2345e-4, 3).alias("wcov10"))
 
 
 def q_roll_sum_wlin_w5(spark, sf_dir):
@@ -2667,7 +2668,7 @@ def oracle_sql() -> dict[str, str]:
                 list_sum([l[i] * l[i] * pow(0.9, n - i) FOR i IN range(1, n + 1)]) AS swx2
               FROM s)
             SELECT user_id, ts,
-              ROUND(1e-4 + CASE WHEN n >= 5 AND n > 1 THEN
+              ROUND(1.2345e-4 + CASE WHEN n >= 5 AND n > 1 THEN
                 (swx2 - swx * swx / sw) / (sw - sw2 / sw) END, 3) AS wvar10
             FROM m""",
         "roll_cov_exp_w10": f"""
@@ -2696,7 +2697,7 @@ def oracle_sql() -> dict[str, str]:
                           FOR i IN range(1, n + 1)]) AS swxy
               FROM s)
             SELECT user_id, ts,
-              ROUND(1e-4 + CASE WHEN n_obs >= 5 AND n_obs > 1 THEN
+              ROUND(1.2345e-4 + CASE WHEN n_obs >= 5 AND n_obs > 1 THEN
                 (swxy - swx * swy / sw) / (sw - sw2 / sw) END, 3) AS wcov10
             FROM m""",
         "roll_sum_wlin_w5": f"""
@@ -3138,7 +3139,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id, ts,
-              ROUND(1e-4 + CASE WHEN count(lat) OVER ({_W10}) >= 1
+              ROUND(1.2345e-4 + CASE WHEN count(lat) OVER ({_W10}) >= 1
                     THEN avg(lat) OVER ({_W10}) END, 3) AS lat_mean10
             FROM t""",
         "tier_1m_stats": _TIER_STATS.format(unit="minute"),
@@ -3167,7 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         # (value, value^2/100) windows
         "stream_roll_cov_w10": f"""
             SELECT user_id, ts,
-              ROUND(1e-4 + CASE WHEN count(value) OVER ({_W10}) >= 5
+              ROUND(1.2345e-4 + CASE WHEN count(value) OVER ({_W10}) >= 5
                     THEN covar_samp(value, value * value / 100.0) OVER ({_W10})
                     END, 3) AS cov10
             FROM events""",
