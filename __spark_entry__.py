@@ -555,6 +555,15 @@ def q_stream_sessionize_1h(spark, sf_dir):
     return spark.table("stream_sess_gate").select("user_id", "ts", "session_id")
 
 
+def q_stream_roll_max_w10(spark, sf_dir):
+    """STATEFUL STREAMING rolling max: the trailing-window hist carry
+    reduced per row (the reference's online deque family, vectorized
+    per Arrow batch); oracle = the batch windowed max SQL."""
+    return _stream_roll_gate(spark, sf_dir, op="max", min_obs=1,
+                             alias="smax10", qname="stream_roll_max_gate",
+                             rnd=lambda c: c)
+
+
 def q_stream_roll_quantile_w10(spark, sf_dir):
     """STATEFUL STREAMING rolling quantile: the O(log w)/row online
     dual-multiset kernel's state (both multisets + window history)
@@ -1655,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_idxmin_w10": q_roll_idxmin_w10,
         "roll_median_w5": q_roll_median_w5,
         "asof_join_events": q_asof_join_events,
+        "stream_roll_max_w10": q_stream_roll_max_w10,
     }
 
 
@@ -2965,6 +2975,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+        "stream_roll_max_w10": f"""
+            SELECT user_id, ts, max(value) OVER ({_W10}) AS smax10
+            FROM events""",
         "stream_sessionize_1h": """
             SELECT user_id, ts,
               CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR

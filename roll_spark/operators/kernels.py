@@ -1230,6 +1230,44 @@ def conv_decayed_count(t_us, halflife_s, min_obs=1):
     return out
 
 
+
+def online_minmax(x, width, mode="min", min_obs=1, state=None):
+    """State-carrying rolling min/max for streaming: the carry is the
+    trailing width-1 raw values (the same hist the other online kernels
+    keep). Within a call the whole batch is evaluated as one vectorized
+    sliding-window reduce over [hist | batch] — no per-row Python; the
+    reference's monotonic-deque online min/max (roll_vec.h:1046) is an
+    O(1)/row sequential refinement, but inside an Arrow batch the
+    strided nan-reduce is faster in numpy than a python-level deque.
+
+    Returns ``(out, state)`` with ``state = {"hist": trailing values,
+    "n_obs": observed count in hist}``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    hist = (np.asarray(state["hist"], dtype=np.float64)
+            if state is not None else np.full(width - 1, np.nan))
+    if hist.size != width - 1:  # defensive: re-pad a short carry
+        pad = np.full(width - 1 - hist.size, np.nan)
+        hist = np.concatenate([pad, hist])
+    xp = np.concatenate([hist, x])
+    out = np.full(n, np.nan)
+    if n:
+        wins = np.lib.stride_tricks.sliding_window_view(xp, width)
+        n_obs = width - np.isnan(wins).sum(axis=1)
+        red = np.nanmin if mode == "min" else np.nanmax
+        with np.errstate(invalid="ignore"):
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN
+                res = red(wins, axis=1)
+        out = np.where(n_obs >= max(min_obs, 1), res, np.nan)
+    tail = xp[len(xp) - (width - 1):] if width > 1 else np.empty(0)
+    return out, {"hist": list(tail),
+                 "n_obs": int((~np.isnan(tail)).sum())}
+
+
 def conv_percentrank(x, width, weights=None, min_obs=None, na_restore=False):
     """Large-width twin of the native roll_percentrank: blocked strided
     windows, one vectorized <=-comparison per block — fixed memory

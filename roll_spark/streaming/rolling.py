@@ -43,7 +43,7 @@ from roll_spark.operators import kernels as K
 from roll_spark.operators.base import Cols, _as_list
 
 # op name -> (kernel, state pack/unpack as flat double arrays)
-_OPS = ("mean", "sum", "var", "quantile", "cov", "ewma")
+_OPS = ("mean", "sum", "var", "quantile", "cov", "ewma", "min", "max")
 
 
 def stream_roll(
@@ -63,7 +63,8 @@ def stream_roll(
     """Rolling ``op`` over a streaming DataFrame, one output row per
     input row, state carried per series across micro-batches.
 
-    op: 'mean' | 'sum' | 'var' (Welford) | 'quantile' (equal-weight
+    op: 'mean' | 'sum' | 'var' (Welford) | 'min' | 'max' (trailing-
+    window reduce over the carried hist) | 'quantile' (equal-weight
     dual multiset, HF2 emission at ``p``) | 'cov' (bivariate Welford
     co-moment over ``value`` and ``y``, pairwise-complete) | 'ewma'
     (time-decay EWMA over the ORDER column's event time at
@@ -118,6 +119,9 @@ def stream_roll(
             yv = batch[y].to_numpy(dtype=np.float64, na_value=np.nan)
             res, kstate = K.online_cov(x, yv, width, min_obs=min_obs,
                                        state=kstate)
+        elif op in ("min", "max"):
+            res, kstate = K.online_minmax(x, width, mode=op,
+                                          min_obs=min_obs, state=kstate)
         elif op == "ewma":
             o = batch[ocol]
             if str(o.dtype).startswith("datetime64"):
@@ -157,6 +161,8 @@ def _pack(op: str, s: dict) -> tuple:
         return ([], [float(s["num"]), float(s["den"]), float(s["t"]),
                      float(s["n_obs"])], [], [])
     hist = [float(v) for v in s["hist"]]
+    if op in ("min", "max"):
+        return (hist, [float(s["n_obs"])], [], [])
     if op == "mean":
         aux = [float(s["sum_w"]), float(s["sum_x"]), float(s["n_obs"])]
         return (hist, aux, [], [])
@@ -174,6 +180,8 @@ def _unpack(op: str, hist, aux, lower, upper) -> dict:
         pairs = [(hist[i], hist[i + 1]) for i in range(0, len(hist), 2)]
         return {"n_obs": int(aux[0]), "mx": aux[1], "my": aux[2],
                 "C": aux[3], "hist": pairs}
+    if op in ("min", "max"):
+        return {"hist": hist, "n_obs": int(aux[0])}
     if op == "mean":
         return {"sum_w": aux[0], "sum_x": aux[1], "n_obs": int(aux[2]),
                 "hist": hist}

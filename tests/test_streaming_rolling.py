@@ -62,6 +62,8 @@ def ordered_stream_dir(spark, tmp_path_factory):
     ("quantile", {"p": 0.5}),
     ("cov", {"y": "lat"}),
     ("ewma", {"halflife_s": 6 * 3600.0}),
+    ("min", {}),
+    ("max", {}),
 ])
 def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     from roll_spark.streaming.rolling import stream_roll
@@ -90,7 +92,9 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     for c in range(N_CONVS):
         sub = pdf[pdf.conv_id == f"c{c}"].sort_values("turn_idx")
         series = sub["text_len"].to_numpy(dtype=np.float64)
-        if op == "quantile":
+        if op in ("min", "max"):
+            want, _ = K.online_minmax(series, WIDTH, mode=op, min_obs=2)
+        elif op == "quantile":
             want = K.conv_quantile(series, WIDTH, 0.5, min_obs=2)
         elif op == "ewma":
             t_us = np.round(sub["ts_s"].to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
