@@ -42,7 +42,6 @@ EXPECT = {
     "ann_brute_top5": dict(expect_broadcast=True),
     "lsh_ann_top5": dict(expect_broadcast=True),
     "ivf_ann_top5": dict(expect_broadcast=True),
-    "dedup_exact": dict(max_exchange=1, max_sort=0),
     # inverted-index self-join: doc-window + shingle self-join + pair agg;
     # NEVER a cartesian (no BroadcastNestedLoopJoin over the corpus)
     "ngram_jaccard_pairs": dict(max_exchange=8, forbid_cartesian=True),
@@ -82,7 +81,6 @@ EXPECT = {
     "roll_skew_kurt_w20": dict(max_exchange=1, max_sort=1, max_window=2),
     "roll_mad_w10": dict(max_exchange=1),            # Arrow path: one groupBy
     "roll_nunique_w10": dict(max_exchange=1, max_sort=1, max_window=1),
-    "ewma_halflife_7d": dict(max_exchange=1),        # Arrow path: one groupBy
     # OHLC bars: ONE partial-agg groupBy, zero sorts, zero windows
     "tier_1h_ohlc": dict(max_exchange=1, max_sort=0, max_window=0),
     # heavy hitters: partial-agg counts + rank window over the count
@@ -133,6 +131,22 @@ EXPECT = {
     "tier_1h_nunique": dict(max_exchange=2, max_sort=0, max_window=0),
     # prediction/residual = projections over the bare roll_lm fit
     "roll_lm_predict_w20": dict(max_exchange=1, max_sort=1, max_window=2),
+    # text-analysis family: pure JVM string expressions, MAP-ONLY —
+    # zero exchanges/sorts/windows is the whole 100 TB story
+    "doc_quality": dict(max_exchange=0, max_sort=0, max_window=0),
+    "doc_lang_id": dict(max_exchange=0, max_sort=0, max_window=0),
+    "doc_token_stats": dict(max_exchange=0, max_sort=0, max_window=0),
+    "doc_bpe_tokens": dict(max_exchange=0, max_sort=0, max_window=0),
+    # gap-fill: tier agg + grid generate + LOCF/linear window
+    "gapfill_locf_1h": dict(max_exchange=2, max_sort=1, max_window=1),
+    "gapfill_linear_1h": dict(max_exchange=2, max_sort=1, max_window=1),
+    # exact per-bucket median: one hash agg (percentile is declarative)
+    "tier_1m_p50": dict(max_exchange=1, max_sort=0, max_window=0),
+    # expanding time-decay kernels: one grouped-map pass (the sort is
+    # the applyInPandas in-partition group ordering, not a shuffle)
+    "ewma_halflife_7d": dict(max_exchange=1, max_sort=1, max_window=0),
+    "decayed_count_1d": dict(max_exchange=1, max_sort=1, max_window=0),
+    "dedup_exact": dict(max_exchange=1, max_sort=0, max_window=0),
 }
 
 
