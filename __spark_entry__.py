@@ -564,6 +564,14 @@ def q_stream_roll_max_w10(spark, sf_dir):
                              rnd=lambda c: c)
 
 
+def q_stream_roll_min_w10(spark, sf_dir):
+    """STATEFUL STREAMING rolling min — the symmetric twin of
+    stream_roll_max_w10 (same hist-carry kernel, opposite reduce)."""
+    return _stream_roll_gate(spark, sf_dir, op="min", min_obs=1,
+                             alias="smin10", qname="stream_roll_min_gate",
+                             rnd=lambda c: c)
+
+
 def q_stream_roll_quantile_w10(spark, sf_dir):
     """STATEFUL STREAMING rolling quantile: the O(log w)/row online
     dual-multiset kernel's state (both multisets + window history)
@@ -1665,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_median_w5": q_roll_median_w5,
         "asof_join_events": q_asof_join_events,
         "stream_roll_max_w10": q_stream_roll_max_w10,
+        "stream_roll_min_w10": q_stream_roll_min_w10,
     }
 
 
@@ -2975,6 +2984,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+        "stream_roll_min_w10": f"""
+            SELECT user_id, ts, min(value) OVER ({_W10}) AS smin10
+            FROM events""",
         "stream_roll_max_w10": f"""
             SELECT user_id, ts, max(value) OVER ({_W10}) AS smax10
             FROM events""",
