@@ -152,9 +152,18 @@ _live_fp_cache: list = []
 
 
 def _register_fp_cache(new_df) -> None:
+    # Results are lazy: callers should materialize a winnow result before
+    # issuing the next winnow call on a DIFFERENT corpus, or the eager
+    # eviction here forces the first corpus's 3-consumer fingerprint
+    # subtree to recompute (perf only, never correctness). unpersist() on
+    # a handle from a stopped SparkSession throws — swallow it, the cache
+    # died with the session anyway.
     for old in _live_fp_cache:
-        if not old.sameSemantics(new_df):
-            old.unpersist()
+        try:
+            if not old.sameSemantics(new_df):
+                old.unpersist()
+        except Exception:
+            pass
     _live_fp_cache[:] = [new_df]
 
 

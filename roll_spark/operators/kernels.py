@@ -1247,7 +1247,12 @@ def online_minmax(x, width, mode="min", min_obs=1, state=None):
     n = len(x)
     hist = (np.asarray(state["hist"], dtype=np.float64)
             if state is not None else np.full(width - 1, np.nan))
-    if hist.size != width - 1:  # defensive: re-pad a short carry
+    if hist.size != width - 1:  # defensive: normalize a mismatched carry
+        # a LONG carry (stream resumed with a smaller width than the
+        # checkpointed state) keeps its trailing width-1 values; a short
+        # one is NaN-padded on the left. np.full with a negative size
+        # would raise, so truncate before padding.
+        hist = hist[max(0, hist.size - (width - 1)):]
         pad = np.full(width - 1 - hist.size, np.nan)
         hist = np.concatenate([pad, hist])
     xp = np.concatenate([hist, x])
@@ -1360,7 +1365,17 @@ def conv_trimmed_mean(x, width, alpha=0.2, weights=None, min_obs=None,
         # of trimming is that they often do)
         pos = np.arange(width)
         keep = (pos >= k[:, None]) & (pos < (n_obs - k)[:, None]) & ~nan_mask
-        total = np.where(keep, sv, 0.0).sum(axis=1)
+        # accumulate in extended precision: when the kept values cancel
+        # to ~eps * sum|x| the float64 sum has no relative accuracy left
+        # (reassociation order decides the low bits); an 80-bit
+        # accumulator pushes that error floor ~2000x down for the cost
+        # of one extra pass over the block (the sort dominates anyway).
+        # On platforms where longdouble == float64 this is a no-op.
+        total = (
+            np.where(keep, sv, 0.0)
+            .sum(axis=1, dtype=np.longdouble)
+            .astype(np.float64)
+        )
         ok = (n_obs >= max(min_obs, 1)) & (m >= 1)
         with np.errstate(invalid="ignore", divide="ignore"):
             out[b0:b1] = np.where(ok, total / np.maximum(m, 1), np.nan)

@@ -100,7 +100,15 @@ def event_transitions(
 
     Plan: ONE lag window (one exchange + one sort, same budget as
     sessionize) + ONE hash aggregate with map-side partials; output is
-    |types|^2 rows regardless of input size."""
+    |types|^2 rows regardless of input size.
+
+    Precondition: (by, order) must be UNIQUE per row (the same contract
+    as _asof_marks' dedup note) — lag over tied ``order`` values is
+    free to order them differently run-to-run (and differently from a
+    SQL oracle), flipping which adjacent pair each tie contributes to.
+    Transcript tables keyed by (conv_id, turn_idx) satisfy this by
+    construction; for a timestamp order with possible ties, pass a
+    composite/deduplicated order column."""
     keys = _as_list(by)
     w = Window.partitionBy(*keys).orderBy(order)
     prev = F.lag(F.col(type_col)).over(w)

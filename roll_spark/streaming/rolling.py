@@ -42,6 +42,27 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from roll_spark.operators import kernels as K
 from roll_spark.operators.base import Cols, _as_list
 
+# A numeric order column is interpreted as epoch-SECONDS (the engine-wide
+# _epoch_micros convention, time_windows.py:40). This CHANGED from
+# epoch-microseconds in 0.3.0 — a caller still passing epoch-µs would get
+# t*1e6 values past int64 range and silent garbage event times, so reject
+# anything implausibly large for seconds: 1e12 s is year ~33658, while
+# today's epoch-µs values are ~1.7e15. Documented in README (breaking
+# changes, 0.4.0).
+_MAX_PLAUSIBLE_EPOCH_SECONDS = 1e12
+
+
+def _numeric_order_to_us(o: pd.Series) -> np.ndarray:
+    v = o.to_numpy(dtype=np.float64)
+    if v.size and np.nanmax(np.abs(v)) > _MAX_PLAUSIBLE_EPOCH_SECONDS:
+        raise ValueError(
+            "numeric order column looks like epoch-microseconds (max "
+            f"|value| {np.nanmax(np.abs(v)):.3g} > {_MAX_PLAUSIBLE_EPOCH_SECONDS:g}); "
+            "since 0.4.0 numeric order values are epoch-SECONDS — divide "
+            "by 1e6 or pass a timestamp column"
+        )
+    return np.round(v * 1e6).astype(np.int64)
+
 # op name -> (kernel, state pack/unpack as flat double arrays)
 _OPS = ("mean", "sum", "var", "quantile", "cov", "ewma", "min", "max")
 
@@ -103,9 +124,12 @@ def stream_roll(
             kstate = _unpack(op, list(hist), list(aux), list(lower), list(upper))
         else:
             kstate = None
-        frames = []
-        for pdf in pdfs:
-            frames.append(pdf)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            # same guard as streaming/sessions.py: an empty group batch
+            # (possible under future timeout modes) yields nothing and
+            # leaves state untouched instead of crashing on concat.
+            return
         batch = pd.concat(frames, ignore_index=True)
         batch = batch.sort_values(ocol, kind="stable")
         x = batch[value].to_numpy(dtype=np.float64, na_value=np.nan)
@@ -130,9 +154,9 @@ def stream_roll(
                 # numeric order column: SECONDS, the same convention as
                 # the batch engine's _epoch_micros (time_windows.py:40) —
                 # a batch ewma_time pipeline ported to streaming keeps
-                # its decay rate unchanged
-                t_us = np.round(
-                    o.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+                # its decay rate unchanged. Guarded against epoch-µs
+                # callers (int64 overflow) — see _numeric_order_to_us.
+                t_us = _numeric_order_to_us(o)
             res, kstate = K.online_ewma_time(x, t_us, halflife_s,
                                              min_obs=min_obs, state=kstate)
         else:

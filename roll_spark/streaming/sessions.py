@@ -33,6 +33,7 @@ from pyspark.sql import types as TT
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from roll_spark.operators.base import Cols, _as_list
+from roll_spark.streaming.rolling import _numeric_order_to_us
 
 
 def stream_sessionize(
@@ -62,16 +63,22 @@ def stream_sessionize(
 
     def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         last_t, sess = state.get if state.exists else (None, 0.0)
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            # NoTimeout mode never delivers empty groups today, but a
+            # timeout-mode or Spark-version change shouldn't crash the
+            # query: yield nothing, leave state untouched.
+            return
+        batch = pd.concat(parts, ignore_index=True)
         batch = batch.sort_values(order, kind="stable")
         o = batch[order]
         if str(o.dtype).startswith("datetime64"):
             t_us = o.astype("int64").to_numpy() // 1000  # ns -> µs
         else:
             # numeric order column: SECONDS (the engine-wide
-            # _epoch_micros convention, same as stream_roll/ewma_time)
-            t_us = np.round(
-                o.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+            # _epoch_micros convention, same as stream_roll/ewma_time);
+            # shared epoch-µs overflow guard
+            t_us = _numeric_order_to_us(o)
         prev = np.empty_like(t_us)
         if last_t is None:
             prev[0] = np.iinfo(np.int64).min // 2  # forces a new session

@@ -104,3 +104,24 @@ def test_state_carry_across_chunks(splits):
             seg, st = K.online_cov(x[lo:hi], y[lo:hi], width, min_obs=2, state=st)
             parts.append(seg)
         assert _same(whole, np.concatenate(parts), atol=1e-9), width
+
+
+def test_online_minmax_mismatched_carry_recovers():
+    """A restored state hist that is LONGER than width-1 (stream resumed
+    with a smaller width than the checkpointed one) must truncate to the
+    trailing values, not raise from a negative-size np.full; a SHORT
+    carry still left-pads with NaN (round-4 ADVICE item)."""
+    x = np.array([5.0, 1.0, 9.0])
+    # long carry: width=3 needs hist size 2, give it 5 trailing values
+    long_state = {"hist": [100.0, -7.0, 2.0, 8.0, 4.0], "n_obs": 5}
+    out, st = K.online_minmax(x, 3, mode="min", min_obs=1, state=long_state)
+    # trailing width-1 = [8.0, 4.0] is the effective carry
+    assert out.tolist() == [4.0, 1.0, 1.0]
+    assert st["hist"] == [1.0, 9.0]
+    out_max, _ = K.online_minmax(x, 3, mode="max", min_obs=1,
+                                 state={"hist": [8.0, 4.0, 2.0], "n_obs": 3})
+    assert out_max.tolist() == [5.0, 5.0, 9.0]
+    # short carry unchanged: NaN-padded on the left
+    out_s, _ = K.online_minmax(x, 4, mode="min", min_obs=1,
+                               state={"hist": [2.0], "n_obs": 1})
+    assert out_s.tolist() == [2.0, 1.0, 1.0]

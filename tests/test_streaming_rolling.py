@@ -165,3 +165,19 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     got = {(r.conv_id, r.ts_s): r.session_id
            for r in spark.table("sess_stream_t").collect()}
     assert got == want
+
+
+def test_numeric_order_seconds_guard():
+    """Numeric order columns are epoch-SECONDS since 0.4.0; a caller
+    still passing epoch-microseconds must get a loud ValueError, not
+    int64-overflowed garbage event times (round-4 ADVICE item)."""
+    import pandas as pd
+    import pytest as _pt
+    from roll_spark.streaming.rolling import _numeric_order_to_us
+
+    secs = pd.Series([0.0, 1.5, 1.7e9])  # plausible epoch-seconds
+    assert _numeric_order_to_us(secs).tolist() == [0, 1_500_000,
+                                                   1_700_000_000_000_000]
+    micros = pd.Series([1.7e15, 1.7e15 + 1e6])  # epoch-µs smell
+    with _pt.raises(ValueError, match="epoch-SECONDS"):
+        _numeric_order_to_us(micros)
