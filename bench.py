@@ -553,6 +553,46 @@ def write_bench_md(timings, total, scaling, walls=None, codec=None,
 # re-run never silently drops the round-over-round context. Baseline column
 # is the committed BENCH_r02.json; "r3" reflects the latest full run.
 ROUND_NOTES = """\
+## Round-over-round (r4 -> r5, same machine class, min-of-iters)
+
+All 40 common headline queries held or got faster; zero regressions past
+the 1.5x honesty threshold (`tools/bench_delta.py`). Common-set total
+35.2 s -> 31.1 s (-12%). The two upticks are inside the documented noise
+band: `roll_trimmean_w10` 0.404 -> 0.428 (1.06x — the round-5 longdouble
+kept-slice accumulator costs nothing measurable) and `roll_var_w10`
+0.447 -> 0.583 (1.30x, code unchanged). Largest moves:
+
+| query | r4 | r5 | ratio |
+| --- | --- | --- | --- |
+| ngram_jaccard_pairs | 1.233 | 0.792 | 0.64x |
+| roll_skew_kurt_w20 | 0.615 | 0.413 | 0.67x |
+| session_stats_1h | 0.452 | 0.307 | 0.68x |
+| dedup_exact | 0.179 | 0.136 | 0.76x |
+| roll_mean_exp_w10 | 1.409 | 1.173 | 0.83x |
+| roll_median_w400 | 1.780 | 1.502 | 0.84x |
+| roll_lm_w20 | 2.151 | 1.840 | 0.86x |
+| winnow_cc_clusters | 3.686 | 3.218 | 0.87x |
+| roll_lm2_w20 | 2.043 | 1.875 | 0.92x |
+
+Round-5 scaling (this file's run above): median-pair efficiency 0.89,
+per-pair [0.868, 0.947, 0.89, 0.867, 0.97], min-of-min 0.954 — the
+north_rule >= 0.8 gate holds for the third consecutive full run.
+
+## Round-over-round (r3 -> r4, same machine class, min-of-iters)
+
+The driver's `BENCH_r03.json` capture truncates its tail, so the r3
+column is the 24 queries whose walls survive in that file (recovered by
+`tools/bench_delta.py`); every common query got faster or held within
+noise — zero regressions past 1.5x. Common-set total 26.5 s -> 21.8 s
+(-18%); full-suite total 41.4 s (37 q) -> 35.2 s (40 q) per the round-4
+session logs. Largest moves: `roll_spearman_w10` 1.877 -> 1.155 (midrank
+block fusion), `ewma_halflife_7d` 1.329 -> 0.948 (span-capped exponent
+blocks), `winnow_cc_clusters` 4.914 -> 3.686 (adaptive repartition
+between fixpoint rounds), `roll_median_w400` 2.40 -> 1.78, `roll_lm_w20`
+2.51 -> 2.15, `roll_lm2_w20` 2.68 -> 2.04. The only upticks:
+`roll_skew_kurt_w20` 1.10x and `session_stats_1h` 1.20x (noise band;
+both reversed in r5 above).
+
 ## Round-over-round (r2 -> r3, same machine class, min-of-iters)
 
 No query regressed >1.5x; the verdict-flagged items moved as designed:

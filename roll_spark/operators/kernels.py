@@ -669,6 +669,22 @@ def conv_lm_k(X, y, width, weights=None, min_obs=None, intercept=True):
 # ---------------------------------------------------------------------------
 
 
+
+def _check_carry_width(hist, width, kernel: str) -> None:
+    """A restored carry longer than the window means the stream resumed
+    with a SMALLER width than the checkpointed one. Unlike online_minmax
+    (whose raw-value carry lets it truncate and recover), the running
+    sums / multisets these kernels carry are tied to the old width —
+    silently continuing would produce wrong values, so fail loudly."""
+    if len(hist) > width:
+        raise ValueError(
+            f"{kernel}: state width mismatch — restored carry holds "
+            f"{len(hist)} trailing values but width={width}; resuming a "
+            "stream with a smaller width than its checkpoint is not "
+            "supported (restart from a fresh checkpoint)"
+        )
+
+
 def online_mean(x, width, weights=None, min_obs=None, na_restore=False,
                 state: dict | None = None):
     """Lambda-recursion weighted mean (roll_vec.h:814-927).
@@ -690,6 +706,7 @@ def online_mean(x, width, weights=None, min_obs=None, na_restore=False,
     else:
         sum_w, sum_x, n_obs = state["sum_w"], state["sum_x"], state["n_obs"]
         hist = list(state["hist"])
+        _check_carry_width(hist, width, "online_mean")
     for i in range(n):
         xi = x[i]
         is_na = np.isnan(xi)
@@ -895,6 +912,7 @@ def online_sum(x, width, weights=None, min_obs=None, na_restore=False,
         hist = []
     else:
         sum_x, n_obs, hist = state["sum_x"], state["n_obs"], list(state["hist"])
+        _check_carry_width(hist, width, "online_sum")
     for i in range(n):
         xi = x[i]
         is_na = np.isnan(xi)
@@ -931,6 +949,7 @@ def online_var(x, width, min_obs=None, na_restore=False,
     else:
         n_obs, mean, M2 = state["n_obs"], state["mean"], state["M2"]
         hist = list(state["hist"])
+        _check_carry_width(hist, width, "online_var")
     for i in range(n):
         xi = x[i]
         is_na = np.isnan(xi)
@@ -972,6 +991,7 @@ def online_cov(x, y, width, min_obs=None, na_restore=False,
     else:
         n_obs, mx, my, C = state["n_obs"], state["mx"], state["my"], state["C"]
         hist = list(state["hist"])
+        _check_carry_width(hist, width, "online_cov")
     for i in range(n):
         xi, yi = x[i], y[i]
         ok = not (np.isnan(xi) or np.isnan(yi))
@@ -1030,6 +1050,7 @@ def online_quantile(x, width, p, min_obs=None, na_restore=False,
     else:
         lower, upper = list(state["lower"]), list(state["upper"])
         hist = list(state["hist"])
+        _check_carry_width(hist, width, "online_quantile")
     pp = 1.0 - p
     for i in range(n):
         xi = x[i]

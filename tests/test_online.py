@@ -125,3 +125,19 @@ def test_online_minmax_mismatched_carry_recovers():
     out_s, _ = K.online_minmax(x, 4, mode="min", min_obs=1,
                                state={"hist": [2.0], "n_obs": 1})
     assert out_s.tolist() == [2.0, 1.0, 1.0]
+
+
+def test_online_width_shrink_raises():
+    """Resuming a sum/moment/multiset kernel with a SMALLER width than
+    its checkpointed state must raise loudly — the carried running sums
+    are tied to the old width, so silent continuation would be wrong
+    (online_minmax alone can truncate-and-recover: raw-value carry)."""
+    x = np.arange(20.0)
+    for fn, args in ((K.online_mean, ()), (K.online_sum, ()),
+                     (K.online_var, ()), (K.online_quantile, (0.5,))):
+        _, st = fn(x, 5, *args, min_obs=1)
+        with pytest.raises(ValueError, match="state width mismatch"):
+            fn(x, 3, *args, min_obs=1, state=st)
+    _, st = K.online_cov(x, x * 2, 5, min_obs=2)
+    with pytest.raises(ValueError, match="state width mismatch"):
+        K.online_cov(x, x * 2, 3, min_obs=2, state=st)
