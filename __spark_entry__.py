@@ -286,6 +286,37 @@ def q_tier_1m_stats(spark, sf_dir):
     )
 
 
+def q_tier_retention_expire(spark, sf_dir):
+    """Retention policy — the drop_chunks analog (TimescaleDB
+    retention + continuous aggregates; the reference has no storage
+    tier at all, SURVEY.md §2.3): the 1m tier is written to the
+    day-partitioned TierStore, rolled up to a 1h coverage store, and
+    raw-tier days strictly before 2024-01-15 are EXPIRED — a
+    partition-level rename/remove per doomed day, no data scanned or
+    rewritten (at 100 TB: Iceberg DROP PARTITION, O(days), never
+    O(rows)); the coverage guard refuses days the 1h tier hasn't
+    absorbed. Returns the surviving finalized 1m rows; oracle = the
+    batch 1m rollup filtered at the cutoff, proving deletion dropped
+    exactly the doomed days and left surviving files bit-untouched."""
+    import tempfile
+
+    from roll_spark.streaming.rollup import TierStore
+
+    base = tempfile.mkdtemp(prefix="roll_retention_")
+    stats = T.rollup_raw(_events(spark, sf_dir), "value", "ts", "user_id", "1m")
+    store = TierStore(spark, f"{base}/t1m", "user_id", "1m")
+    store.upsert(stats)
+    cov = TierStore(spark, f"{base}/t1h", "user_id", "1h")
+    cov.upsert(T.merge_tier(store.read(), "user_id", "1h"))
+    store.expire("2024-01-15", coverage=cov)
+    out = T.finalize(store.read())
+    return out.select(
+        "user_id", "bucket_ts", "n",
+        _r6("sum_x").alias("sum_x"), _r6("mean_x").alias("mean_x"),
+        F.col("min_x"), F.col("max_x"), _r6("sd_x").alias("sd_x"),
+    )
+
+
 def q_tier_1h_realtime(spark, sf_dir):
     """Real-time continuous aggregate (the TimescaleDB pattern): the 1h
     tier is materialized only for buckets before a mid-range watermark
@@ -1595,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_max_w10": q_stream_roll_max_w10,
         "stream_roll_var_w10": q_stream_roll_var_w10,
         "stream_roll_sum_w10": q_stream_roll_sum_w10,
+        "tier_retention_expire": q_tier_retention_expire,
         # -- freshest driver evidence is r2: rotate in ------------------
         "roll_idxmin_w10": q_roll_idxmin_w10,
         "roll_median_w5": q_roll_median_w5,
@@ -3194,6 +3226,11 @@ def oracle_sql() -> dict[str, str]:
                     THEN avg(lat) OVER ({_W10}) END, 3) AS lat_mean10
             FROM t""",
         "tier_1m_stats": _TIER_STATS.format(unit="minute"),
+        # retention expiry: surviving 1m rows == the batch 1m rollup
+        # with the doomed days filtered out at the same cutoff
+        "tier_retention_expire": _TIER_STATS.format(unit="minute").replace(
+            "FROM events", "FROM events WHERE ts >= TIMESTAMP '2024-01-15'"
+        ),
         "tier_1h_cascade": _TIER_STATS.format(unit="hour"),
         "tier_1h_realtime": _TIER_STATS.format(unit="hour"),
         # checkpoint-write -> manifest-resume must round-trip the tier

@@ -158,6 +158,12 @@ class TierStore:
         if not os.path.isdir(self.path):
             return
         for d in os.listdir(self.path):
+            if d.startswith("expired__"):
+                # a crash between expire()'s rename-aside and its rmtree:
+                # the rename already committed the drop (the dir no longer
+                # matches _day=*, so read() ignores it) — finish deleting.
+                shutil.rmtree(os.path.join(self.path, d))
+                continue
             if not d.endswith("__old"):
                 continue
             old = os.path.join(self.path, d)
@@ -235,6 +241,49 @@ class TierStore:
             if os.path.exists(old):
                 shutil.rmtree(old)
         shutil.rmtree(tmp)
+
+    def expire(self, before_day: str,
+               coverage: "TierStore | None" = None) -> list[str]:
+        """Retention policy — the TimescaleDB ``drop_chunks`` analog for
+        this store: drop every ``_day=D`` partition with D strictly
+        before ``before_day`` (``YYYY-MM-DD``). PARTITION-LEVEL deletion:
+        directory renames only, no data is scanned or rewritten — at
+        100 TB this is the Iceberg DROP PARTITION / expire-snapshots
+        metadata operation, O(days dropped), never O(rows).
+
+        If ``coverage`` is given (the COARSER tier's store, e.g. the 1h
+        store when expiring raw/1m days), a day is only dropped when the
+        coverage store has that day partition too — the "continuous
+        aggregate must cover the chunk before the chunk may drop" safety
+        TimescaleDB retention policies pair with caggs. The check is a
+        directory listing on both sides (metadata-only). Days present
+        here but absent from coverage are kept and reported by raising
+        ValueError, so a mis-ordered pipeline (expire before rollup)
+        fails loudly instead of silently losing data.
+
+        Crash-safe: each dropped day is renamed to ``expired__day=D``
+        (atomic; the prefix no longer matches ``_day=*`` so a reader
+        never sees a half-deleted partition) and then removed;
+        ``_recover`` finishes the removal after a crash. Returns the
+        dropped day names."""
+        self._recover()
+        days = sorted(d[len("_day="):] for d in self._day_dirs())
+        doomed = [d for d in days if d < before_day]
+        if coverage is not None and doomed:
+            covered = {c[len("_day="):] for c in coverage._day_dirs()}
+            missing = [d for d in doomed if d not in covered]
+            if missing:
+                raise ValueError(
+                    f"expire({before_day!r}): day(s) {missing} have rows in "
+                    f"this store but no partition in the coverage store "
+                    f"({coverage.path}) — roll them up before expiring"
+                )
+        for d in doomed:
+            live = os.path.join(self.path, f"_day={d}")
+            aside = os.path.join(self.path, f"expired__day={d}")
+            os.replace(live, aside)
+            shutil.rmtree(aside)
+        return doomed
 
 
 def run_stream_to_tier(

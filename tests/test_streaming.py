@@ -195,3 +195,57 @@ def test_small_watermark_fails_loudly(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt"),
             watermark="1 minute", max_files_per_trigger=1,
         )
+
+
+def test_store_expire_retention(spark, raw_dir, tmp_path):
+    """Retention expiry (the drop_chunks analog): days strictly before
+    the cutoff vanish, newer days' files are byte-untouched, the
+    coverage guard refuses to drop a day the coarser tier hasn't rolled
+    up, and an interrupted drop (the renamed-aside dir) is healed by
+    read()."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    store_path = str(tmp_path / "tier_exp")
+    raw = spark.read.parquet(raw_dir)
+    stats = T.rollup_raw(raw, "text_len", "ts", "conv_id", "1m")
+    store = TierStore(spark, store_path, "conv_id", "1m")
+    store.upsert(stats)
+    days = sorted(d.split("=", 1)[1] for d in os.listdir(store_path)
+                  if d.startswith("_day="))
+    assert len(days) >= 3, "fixture must span 3+ days"
+    cutoff = days[1]  # drop exactly the oldest day
+
+    # coverage guard: an EMPTY coarser store refuses the drop loudly
+    empty_cov = TierStore(spark, str(tmp_path / "cov_none"), "conv_id", "1h")
+    with pytest.raises(ValueError, match="roll them up before expiring"):
+        store.expire(cutoff, coverage=empty_cov)
+    assert sorted(d.split("=", 1)[1] for d in os.listdir(store_path)
+                  if d.startswith("_day=")) == days  # nothing dropped
+
+    # roll up to 1h, store it, then the same expire succeeds
+    cov_path = str(tmp_path / "cov_1h")
+    cov = TierStore(spark, cov_path, "conv_id", "1h")
+    cov.upsert(T.merge_tier(store.read(), "conv_id", "1h"))
+    dropped = store.expire(cutoff, coverage=cov)
+    assert dropped == [days[0]]
+    left = sorted(d.split("=", 1)[1] for d in os.listdir(store_path)
+                  if d.startswith("_day="))
+    assert left == days[1:]
+
+    # surviving rows == batch rollup filtered at the cutoff
+    got = _stats_pdf(store.read())
+    want = _stats_pdf(
+        stats.filter(F.date_format("bucket_ts", "yyyy-MM-dd") >= cutoff))
+    _assert_tier_equal(got, want)
+
+    # crash-heal: a lingering renamed-aside dir is removed on next read
+    ghost = os.path.join(store_path, f"expired__day={days[1]}")
+    os.makedirs(ghost)
+    open(os.path.join(ghost, "part-zombie.parquet"), "w").close()
+    store.read()
+    assert not os.path.exists(ghost)
+    # idempotent: nothing older than cutoff remains
+    assert store.expire(cutoff, coverage=cov) == []
