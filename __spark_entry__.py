@@ -1645,7 +1645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "winnow_cc_clusters": q_winnow_cc_clusters,
-        "event_transitions": q_event_transitions,
+        # event_transitions' round-5 change is docstring-only (the
+        # unique-(by, order) precondition) — r4 driver evidence stands;
+        # its slot goes to the r3-stale asof_join_events instead
         # -- freshest driver evidence is r3: rotate in ------------------
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_neardup": q_simhash_neardup,
@@ -1677,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         # ---- position 50+: r4-driver-green, or r3-green with an
         # ---- in-window same-code-path sibling --------------------------
+        "event_transitions": q_event_transitions,
         "roll_cov_matrix_pairwise_w10": q_roll_cov_matrix_pairwise_w10,
         "roll_mean_completeobs_w10": q_roll_mean_completeobs_w10,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
