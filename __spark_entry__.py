@@ -317,6 +317,25 @@ def q_tier_retention_expire(spark, sf_dir):
     )
 
 
+def q_raw_compress_policy(spark, sf_dir):
+    """Tiered-storage compression policy (compress_chunks analog — with
+    TierStore.expire and the tier cascade this completes the retention
+    triad): events before 2024-01-15 are encoded into Gorilla chunk
+    blobs (month buckets: this fixture is sparse, day chunks would be
+    near-empty — see q_tier_1m_from_chunks), newer events stay raw, and
+    tiered_read unions decoded cold + raw hot back into one relation.
+    The oracle is the UNSPLIT raw table, so the driver hash proves the
+    policy loses nothing: bit-exact doubles, microsecond timestamps,
+    every row on exactly one side of the seam."""
+    from roll_spark.plans.chunks import compress_policy, tiered_read
+
+    ev = _events(spark, sf_dir)
+    chunks, hot = compress_policy(
+        ev, "value", "ts", "user_id", before="2024-01-15", bucket="month"
+    )
+    return tiered_read(chunks, hot, "value", "ts", "user_id")
+
+
 def q_tier_1h_realtime(spark, sf_dir):
     """Real-time continuous aggregate (the TimescaleDB pattern): the 1h
     tier is materialized only for buckets before a mid-range watermark
@@ -1627,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_var_w10": q_stream_roll_var_w10,
         "stream_roll_sum_w10": q_stream_roll_sum_w10,
         "tier_retention_expire": q_tier_retention_expire,
+        "raw_compress_policy": q_raw_compress_policy,
         # -- freshest driver evidence is r2: rotate in ------------------
         "roll_idxmin_w10": q_roll_idxmin_w10,
         "roll_median_w5": q_roll_median_w5,
@@ -1657,7 +1677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "ann_brute_top5": q_ann_brute_top5,
         "doc_quality": q_doc_quality,
-        "doc_lang_id": q_doc_lang_id,
         "doc_lang_trigram": q_doc_lang_trigram,
         "media_features": q_media_features,
         "roll_skew_kurt_w20": q_roll_skew_kurt_w20,
@@ -1680,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 50+: r4-driver-green, or r3-green with an
         # ---- in-window same-code-path sibling --------------------------
         "event_transitions": q_event_transitions,
+        "doc_lang_id": q_doc_lang_id,
         "roll_cov_matrix_pairwise_w10": q_roll_cov_matrix_pairwise_w10,
         "roll_mean_completeobs_w10": q_roll_mean_completeobs_w10,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
@@ -3229,6 +3249,10 @@ def oracle_sql() -> dict[str, str]:
                     THEN avg(lat) OVER ({_W10}) END, 3) AS lat_mean10
             FROM t""",
         "tier_1m_stats": _TIER_STATS.format(unit="minute"),
+        # compression policy round-trip: cold-chunked + hot rows == the
+        # unsplit raw table, bit for bit
+        "raw_compress_policy": """
+            SELECT user_id, ts, value FROM events""",
         # retention expiry: surviving 1m rows == the batch 1m rollup
         # with the doomed days filtered out at the same cutoff
         "tier_retention_expire": _TIER_STATS.format(unit="minute").replace(

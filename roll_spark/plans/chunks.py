@@ -90,3 +90,53 @@ def decompress_series(chunks: DataFrame, by: Cols) -> DataFrame:
                 yield pd.concat(frames, ignore_index=True)
 
     return chunks.select(*by_l, "blob").mapInPandas(dec, schema=out_schema)
+
+
+def compress_policy(
+    df: DataFrame,
+    value: str,
+    ts: str,
+    by: Cols,
+    *,
+    before,
+    bucket: str = "day",
+) -> tuple[DataFrame, DataFrame]:
+    """Tiered-storage compression policy — the compress_chunks analog
+    (TimescaleDB pairs it with retention + continuous aggregates; this
+    engine's other two thirds are ``TierStore.expire`` and
+    ``plans.tiers``): rows with ``ts < before`` become Gorilla chunk
+    blobs (ONE row per (series, bucket) — the cold layout), rows at or
+    after ``before`` stay raw (the hot layout). Returns
+    ``(chunks, hot)``.
+
+    Scale shape: the split is a partition-prunable predicate on the
+    event-time column (a date-partitioned raw table never scans hot
+    days to build cold chunks), the encode is one applyInPandas pass
+    over only the cold rows, and nothing is ever decoded here — a
+    policy run touches each cold byte exactly once."""
+    cold_pred = F.col(ts) < F.lit(before).cast("timestamp")
+    chunks = compress_series(df.filter(cold_pred), value, ts, by, bucket=bucket)
+    return chunks, df.filter(~cold_pred)
+
+
+def tiered_read(
+    chunks: DataFrame,
+    hot: DataFrame,
+    value: str,
+    ts: str,
+    by: Cols,
+) -> DataFrame:
+    """Reader-facing union over a compress_policy split: decoded cold
+    chunks + raw hot rows, one (by, ts, value) relation — queries are
+    storage-oblivious, the same seam pattern as tiers.realtime_view.
+    The chunk decode restores rows bit-for-bit (float64 XOR codec,
+    microsecond timestamps), so this view is row-identical to the
+    pre-policy table."""
+    by_l = _as_list(by)
+    cold_rows = decompress_series(chunks, by_l)
+    hot_rows = hot.select(
+        *by_l,
+        F.col(ts).cast("timestamp_ntz").alias("ts"),
+        F.col(value).cast("double").alias("value"),
+    )
+    return cold_rows.unionByName(hot_rows)

@@ -141,3 +141,34 @@ def test_spark_chunk_store_roundtrip(spark):
     }
     b = {(r[0], r[1]): r[2] for r in restored.collect()}
     assert a == b
+
+
+def test_compress_policy_tiered_read(spark):
+    """compress_chunks analog: rows before the cutoff become chunk
+    blobs, rows at/after stay raw (never encoded), and tiered_read's
+    seam union restores the original relation exactly — each row on
+    exactly one side."""
+    from roll_spark.plans.chunks import compress_policy, tiered_read
+
+    df = derive_series(generate_transcripts(spark, n_convs=5, median_turns=60))
+    src = df.select("conv_id", "ts", F.col("text_len").alias("v"))
+    cutoff = src.selectExpr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)") \
+                .collect()[0][0]
+    before = str(
+        src.selectExpr(f"timestamp_micros({cutoff})").collect()[0][0])
+    chunks, hot = compress_policy(src, "v", "ts", "conv_id", before=before)
+    n_cold = chunks.agg(F.sum("n")).collect()[0][0] or 0
+    n_hot = hot.count()
+    assert n_cold > 0 and n_hot > 0, "cutoff must split the fixture"
+    assert n_cold + n_hot == src.count()  # exactly one side each
+    # hot rows are raw (no blob column) and all at/after the cutoff
+    assert "blob" not in hot.columns
+    assert hot.filter(F.col("ts") < F.lit(before).cast("timestamp")).count() == 0
+    # seam union == original, bit for bit (keys, µs timestamps, doubles)
+    got = tiered_read(chunks, hot, "v", "ts", "conv_id")
+    a = {
+        (r[0], r[1]): r[2]
+        for r in src.withColumn("ts", F.col("ts").cast("timestamp_ntz")).collect()
+    }
+    b = {(r[0], r[1]): r[2] for r in got.collect()}
+    assert a == b
