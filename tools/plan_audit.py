@@ -147,6 +147,16 @@ EXPECT = {
     "ewma_halflife_7d": dict(max_exchange=1, max_sort=1, max_window=0),
     "decayed_count_1d": dict(max_exchange=1, max_sort=1, max_window=0),
     "dedup_exact": dict(max_exchange=1, max_sort=0, max_window=0),
+    # round-5 retention triad additions
+    # compression policy: ONE encode groupBy (its sort is the in-group
+    # ordering), decode is mapInPandas (no shuffle), hot side is a bare
+    # filtered scan, the seam is a union — never a join
+    "raw_compress_policy": dict(max_exchange=1, max_sort=1, max_window=0,
+                                forbid_cartesian=True),
+    # retention expiry returns a plain read of the surviving store
+    # partitions + finalize projections: NOTHING moves — the expiry
+    # itself is directory metadata, invisible to the plan by design
+    "tier_retention_expire": dict(max_exchange=0, max_sort=0, max_window=0),
 }
 
 
