@@ -647,6 +647,20 @@ def q_stream_roll_cov_w10(spark, sf_dir):
     )
 
 
+def q_stream_roll_idxmax_w10(spark, sf_dir):
+    """STATEFUL STREAMING rolling idxmax (window-relative extreme index,
+    most-recent ties, series-position during the expanding phase): the
+    carry is the trailing window values PLUS the global row count — the
+    expanding contract needs the series position, which a micro-batch
+    can't know locally. Oracle = the batch struct-max window SQL (same
+    shape as roll_idxmax_w10), so the driver hash proves the streamed
+    index algebra equals the batch engine row for row across seams."""
+    return _stream_roll_gate(
+        spark, sf_dir, op="idxmax", min_obs=1, alias="sidxmax10",
+        qname="stream_roll_idxmax_gate", rnd=lambda c: c.cast("int"),
+    )
+
+
 def q_stream_roll_var_w10(spark, sf_dir):
     """STATEFUL STREAMING rolling variance: the univariate Welford
     insert/evict moment state carried across micro-batches; the oracle
@@ -1645,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_max_w10": q_stream_roll_max_w10,
         "stream_roll_var_w10": q_stream_roll_var_w10,
         "stream_roll_sum_w10": q_stream_roll_sum_w10,
+        "stream_roll_idxmax_w10": q_stream_roll_idxmax_w10,
         "tier_retention_expire": q_tier_retention_expire,
         "raw_compress_policy": q_raw_compress_policy,
         # -- freshest driver evidence is r2: rotate in ------------------
@@ -1676,7 +1691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "ann_brute_top5": q_ann_brute_top5,
-        "doc_quality": q_doc_quality,
         "doc_lang_trigram": q_doc_lang_trigram,
         "media_features": q_media_features,
         "roll_skew_kurt_w20": q_roll_skew_kurt_w20,
@@ -1700,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- in-window same-code-path sibling --------------------------
         "event_transitions": q_event_transitions,
         "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
         "roll_cov_matrix_pairwise_w10": q_roll_cov_matrix_pairwise_w10,
         "roll_mean_completeobs_w10": q_roll_mean_completeobs_w10,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
@@ -3287,6 +3302,24 @@ def oracle_sql() -> dict[str, str]:
                     THEN covar_samp(value, value * value / 100.0) OVER ({_W10})
                     END, 3) AS cov10
             FROM events""",
+        # streamed window-relative extreme index == the batch struct-max
+        # window form (expanding: series position; rolling: window slot)
+        "stream_roll_idxmax_w10": """
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events
+            ), m AS (
+              SELECT user_id, ts, rn,
+                     (max(struct_pack(v := value, j := rn)) OVER
+                       (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)).j AS rm
+              FROM t
+            )
+            SELECT user_id, ts,
+              CAST(CASE WHEN rn <= 10 THEN rm ELSE 10 - rn + rm END AS INT)
+                AS sidxmax10
+            FROM m""",
         # streamed univariate Welford moment == batch var_samp
         "stream_roll_var_w10": f"""
             SELECT user_id, ts,

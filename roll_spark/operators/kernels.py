@@ -1294,6 +1294,48 @@ def online_minmax(x, width, mode="min", min_obs=1, state=None):
                  "n_obs": int((~np.isnan(tail)).sum())}
 
 
+def online_idxminmax(x, width, mode="min", min_obs=1, state=None):
+    """State-carrying rolling idxmin/idxmax for streaming — the online
+    twin of window_ops._idx_extreme (reference roll_vec.h:1345-1659):
+    while the series is still expanding (global row r <= width,
+    1-based) the result is the 1-based SERIES position of the extreme;
+    once rolling it is the 1-based window slot (1 = oldest, width =
+    newest). Ties break toward the MOST RECENT occurrence (the
+    reference's ``<=`` candidate compare, roll_vec.h:1484).
+
+    The carry is the trailing width-1 raw values (same as
+    online_minmax) plus the global row count ``r`` — the expanding
+    phase needs the series position, which micro-batch locals can't
+    know. Within a call the whole batch is one vectorized argreduce
+    over reversed window slots (argmin/argmax return the FIRST hit, so
+    reversing makes that the most recent)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    hist = (np.asarray(state["hist"], dtype=np.float64)
+            if state is not None else np.full(width - 1, np.nan))
+    r0 = int(state["r"]) if state is not None else 0
+    if hist.size != width - 1:  # same normalize as online_minmax
+        hist = hist[max(0, hist.size - (width - 1)):]
+        pad = np.full(width - 1 - hist.size, np.nan)
+        hist = np.concatenate([pad, hist])
+    xp = np.concatenate([hist, x])
+    out = np.full(n, np.nan)
+    if n:
+        wins = np.lib.stride_tricks.sliding_window_view(xp, width)
+        n_obs = width - np.isnan(wins).sum(axis=1)
+        rev = wins[:, ::-1]
+        fill = np.inf if mode == "min" else -np.inf
+        filled = np.where(np.isnan(rev), fill, rev)
+        a = filled.argmin(axis=1) if mode == "min" else filled.argmax(axis=1)
+        slot = width - 1 - a  # back to original orientation, 0 = oldest
+        r = r0 + 1 + np.arange(n, dtype=np.int64)  # global 1-based rows
+        idx = slot + 1 + np.minimum(r - width, 0)
+        out = np.where(n_obs >= max(min_obs, 1), idx.astype(np.float64),
+                       np.nan)
+    tail = xp[len(xp) - (width - 1):] if width > 1 else np.empty(0)
+    return out, {"hist": list(tail), "r": r0 + n}
+
+
 def conv_percentrank(x, width, weights=None, min_obs=None, na_restore=False):
     """Large-width twin of the native roll_percentrank: blocked strided
     windows, one vectorized <=-comparison per block — fixed memory

@@ -64,7 +64,8 @@ def _numeric_order_to_us(o: pd.Series) -> np.ndarray:
     return np.round(v * 1e6).astype(np.int64)
 
 # op name -> (kernel, state pack/unpack as flat double arrays)
-_OPS = ("mean", "sum", "var", "quantile", "cov", "ewma", "min", "max")
+_OPS = ("mean", "sum", "var", "quantile", "cov", "ewma", "min", "max",
+        "idxmin", "idxmax")
 
 
 def stream_roll(
@@ -85,7 +86,10 @@ def stream_roll(
     input row, state carried per series across micro-batches.
 
     op: 'mean' | 'sum' | 'var' (Welford) | 'min' | 'max' (trailing-
-    window reduce over the carried hist) | 'quantile' (equal-weight
+    window reduce over the carried hist) | 'idxmin' | 'idxmax'
+    (window-relative extreme index, most-recent ties; the carry adds
+    the global row count for the expanding-phase series position) |
+    'quantile' (equal-weight
     dual multiset, HF2 emission at ``p``) | 'cov' (bivariate Welford
     co-moment over ``value`` and ``y``, pairwise-complete) | 'ewma'
     (time-decay EWMA over the ORDER column's event time at
@@ -146,6 +150,9 @@ def stream_roll(
         elif op in ("min", "max"):
             res, kstate = K.online_minmax(x, width, mode=op,
                                           min_obs=min_obs, state=kstate)
+        elif op in ("idxmin", "idxmax"):
+            res, kstate = K.online_idxminmax(x, width, mode=op[3:],
+                                             min_obs=min_obs, state=kstate)
         elif op == "ewma":
             o = batch[ocol]
             if str(o.dtype).startswith("datetime64"):
@@ -187,6 +194,8 @@ def _pack(op: str, s: dict) -> tuple:
     hist = [float(v) for v in s["hist"]]
     if op in ("min", "max"):
         return (hist, [float(s["n_obs"])], [], [])
+    if op in ("idxmin", "idxmax"):
+        return (hist, [float(s["r"])], [], [])
     if op == "mean":
         aux = [float(s["sum_w"]), float(s["sum_x"]), float(s["n_obs"])]
         return (hist, aux, [], [])
@@ -206,6 +215,8 @@ def _unpack(op: str, hist, aux, lower, upper) -> dict:
                 "C": aux[3], "hist": pairs}
     if op in ("min", "max"):
         return {"hist": hist, "n_obs": int(aux[0])}
+    if op in ("idxmin", "idxmax"):
+        return {"hist": hist, "r": int(aux[0])}
     if op == "mean":
         return {"sum_w": aux[0], "sum_x": aux[1], "n_obs": int(aux[2]),
                 "hist": hist}

@@ -141,3 +141,44 @@ def test_online_width_shrink_raises():
     _, st = K.online_cov(x, x * 2, 5, min_obs=2)
     with pytest.raises(ValueError, match="state width mismatch"):
         K.online_cov(x, x * 2, 3, min_obs=2, state=st)
+
+
+def test_online_idxminmax_matches_batch_contract():
+    """online_idxminmax == an independent naive replay of the batch
+    contract (window_ops._idx_extreme / roll_vec.h:1345-1659): series
+    position while expanding, window slot once rolling, most-recent
+    ties, NaN exclusion, min_obs gating — plus chunked state carry
+    (hist + global row count) equals the single pass."""
+    rng = np.random.default_rng(7)
+    x = np.round(rng.normal(50, 20, 200), 2)
+    x[rng.random(200) < 0.15] = np.nan
+    x[::7] = 42.0  # force ties
+
+    def naive(x, width, mode, min_obs):
+        out = np.full(len(x), np.nan)
+        for i in range(len(x)):
+            r = i + 1
+            lo = max(0, i - width + 1)
+            win = x[lo:i + 1]
+            obs = ~np.isnan(win)
+            if obs.sum() < max(min_obs, 1):
+                continue
+            vals = np.where(obs, win, np.inf if mode == "min" else -np.inf)
+            ext = vals.min() if mode == "min" else vals.max()
+            j = np.flatnonzero(obs & (win == ext))[-1]  # most recent tie
+            r_ext = lo + j + 1
+            out[i] = r_ext if r <= width else width - r + r_ext
+        return out
+
+    for mode in ("min", "max"):
+        for width in (1, 3, 10):
+            for mo in (1, 3):
+                want = naive(x, width, mode, mo)
+                got, _ = K.online_idxminmax(x, width, mode=mode, min_obs=mo)
+                assert _same(got, want), (mode, width, mo)
+                st, parts = None, []
+                for lo, hi in ((0, 13), (13, 14), (14, 90), (90, 200)):
+                    seg, st = K.online_idxminmax(
+                        x[lo:hi], width, mode=mode, min_obs=mo, state=st)
+                    parts.append(seg)
+                assert _same(np.concatenate(parts), want), (mode, width, mo)

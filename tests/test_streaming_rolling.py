@@ -64,6 +64,8 @@ def ordered_stream_dir(spark, tmp_path_factory):
     ("ewma", {"halflife_s": 6 * 3600.0}),
     ("min", {}),
     ("max", {}),
+    ("idxmin", {}),
+    ("idxmax", {}),
 ])
 def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     from roll_spark.streaming.rolling import stream_roll
@@ -94,6 +96,11 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
         series = sub["text_len"].to_numpy(dtype=np.float64)
         if op in ("min", "max"):
             want, _ = K.online_minmax(series, WIDTH, mode=op, min_obs=2)
+        elif op in ("idxmin", "idxmax"):
+            # the kernel itself is verified against the batch contract in
+            # test_online.py; here the axis under test is the micro-batch
+            # state carry (hist + global row count)
+            want, _ = K.online_idxminmax(series, WIDTH, mode=op[3:], min_obs=2)
         elif op == "quantile":
             want = K.conv_quantile(series, WIDTH, 0.5, min_obs=2)
         elif op == "ewma":
