@@ -661,6 +661,25 @@ def q_stream_roll_idxmax_w10(spark, sf_dir):
     )
 
 
+def q_stream_roll_scale_w10(spark, sf_dir):
+    """STATEFUL STREAMING rolling z-score (roll_scale's
+    center=scale=True form: most-recent-non-NA value standardized by
+    the window's Welford moments, NULL on zero-variance windows): the
+    carry is the var-op Welford state plus the raw window. Rounded at 3
+    decimals (1e-4 nudge) — the online insert/evict moments vs the
+    oracle's exact two-pass carry the same irreducible ~kappa*eps class
+    as stream_roll_var/cov."""
+    return _stream_roll_gate(
+        spark, sf_dir, op="scale", min_obs=5, alias="sscale10",
+        qname="stream_roll_scale_gate",
+        # + 0.0 normalizes IEEE negative zero: z-scores cluster near 0,
+        # so ROUND(z + nudge, 3) produces -0.0 on one engine and 0.0 on
+        # the other for small negatives — the one float where the two
+        # engines' stringified hashes disagree at equal value
+        rnd=lambda c: F.round(c + F.lit(1.2345e-4), 3) + F.lit(0.0),
+    )
+
+
 def q_stream_roll_var_w10(spark, sf_dir):
     """STATEFUL STREAMING rolling variance: the univariate Welford
     insert/evict moment state carried across micro-batches; the oracle
@@ -1660,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_var_w10": q_stream_roll_var_w10,
         "stream_roll_sum_w10": q_stream_roll_sum_w10,
         "stream_roll_idxmax_w10": q_stream_roll_idxmax_w10,
+        "stream_roll_scale_w10": q_stream_roll_scale_w10,
         "tier_retention_expire": q_tier_retention_expire,
         "raw_compress_policy": q_raw_compress_policy,
         # -- freshest driver evidence is r2: rotate in ------------------
@@ -1692,7 +1712,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": q_emb_neardup_pairs,
         "ann_brute_top5": q_ann_brute_top5,
         "doc_lang_trigram": q_doc_lang_trigram,
-        "media_features": q_media_features,
         "roll_skew_kurt_w20": q_roll_skew_kurt_w20,
         "roll_mad_w10": q_roll_mad_w10,
         "roll_nunique_w10": q_roll_nunique_w10,
@@ -1715,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
+        "media_features": q_media_features,
         "roll_cov_matrix_pairwise_w10": q_roll_cov_matrix_pairwise_w10,
         "roll_mean_completeobs_w10": q_roll_mean_completeobs_w10,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
@@ -3320,6 +3340,17 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN rn <= 10 THEN rm ELSE 10 - rn + rm END AS INT)
                 AS sidxmax10
             FROM m""",
+        # streamed online z-score == the batch roll_scale SQL (same
+        # form as roll_scale_w10, coarser rounding for the online class)
+        "stream_roll_scale_w10": f"""
+            SELECT user_id, ts,
+              ROUND(1.2345e-4 + CASE WHEN count(value) OVER ({_W10}) >= 5
+                          AND count(value) OVER ({_W10}) > 1
+                          AND var_samp(value) OVER ({_W10}) > 2.220446049250313e-16
+                    THEN (value - avg(value) OVER ({_W10}))
+                         / stddev_samp(value) OVER ({_W10}) END, 3) + 0.0
+                AS sscale10
+            FROM events""",
         # streamed univariate Welford moment == batch var_samp
         "stream_roll_var_w10": f"""
             SELECT user_id, ts,

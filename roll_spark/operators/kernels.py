@@ -975,6 +975,64 @@ def online_var(x, width, min_obs=None, na_restore=False,
     return out, {"n_obs": n_obs, "mean": mean, "M2": M2, "hist": hist[-width:]}
 
 
+def online_scale(x, width, min_obs=None, na_restore=False,
+                 state: dict | None = None):
+    """Online rolling z-score — the sequential state-carrying twin of
+    window_ops.roll_scale's center=True/scale=True form (reference
+    RollScaleOfflineVec, roll_vec.h:3016-3180): the value scaled is the
+    MOST RECENT NON-NA in the window; NULL unless n_obs > 1 AND
+    var > eps (no clamp-to-zero). Same Welford insert/evict state as
+    online_var plus the raw window for the x_last scan."""
+    x = np.asarray(x, dtype=np.float64)
+    min_obs = width if min_obs is None else min_obs
+    n = len(x)
+    out = np.full(n, np.nan)
+    if state is None:
+        n_obs, mean, M2 = 0, 0.0, 0.0
+        hist = []
+    else:
+        n_obs, mean, M2 = state["n_obs"], state["mean"], state["M2"]
+        hist = list(state["hist"])
+        _check_carry_width(hist, width, "online_scale")
+    for i in range(n):
+        xi = x[i]
+        is_na = np.isnan(xi)
+        if not is_na:
+            n_obs += 1
+            d = xi - mean
+            mean += d / n_obs
+            M2 += d * (xi - mean)
+        hist.append(xi)
+        if len(hist) > width:
+            old = hist.pop(0)
+            if not np.isnan(old):
+                if n_obs == 1:
+                    n_obs, mean, M2 = 0, 0.0, 0.0
+                else:
+                    d = old - mean
+                    mean = (n_obs * mean - old) / (n_obs - 1)
+                    M2 -= d * (old - mean)
+                    n_obs -= 1
+        if (not na_restore or not is_na) and n_obs >= max(min_obs, 2):
+            # the x_last scan doubles as the exact zero-variance test:
+            # after evictions the carried M2 keeps ~eps*mean^2 residue,
+            # so an all-equal window (true var 0, batch emits NULL via
+            # var > eps) would otherwise emit a garbage z from the
+            # residue — compare window values directly instead.
+            x_last, all_eq = np.nan, True
+            for h in reversed(hist):
+                if not np.isnan(h):
+                    if np.isnan(x_last):
+                        x_last = h
+                    elif h != x_last:
+                        all_eq = False
+                        break
+            v = M2 / (n_obs - 1)
+            if not all_eq and v > EPS:
+                out[i] = (x_last - mean) / np.sqrt(v)
+    return out, {"n_obs": n_obs, "mean": mean, "M2": M2, "hist": hist[-width:]}
+
+
 def online_cov(x, y, width, min_obs=None, na_restore=False,
                state: dict | None = None):
     """Equal-weight online covariance: bivariate Welford co-moment with

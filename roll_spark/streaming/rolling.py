@@ -65,7 +65,7 @@ def _numeric_order_to_us(o: pd.Series) -> np.ndarray:
 
 # op name -> (kernel, state pack/unpack as flat double arrays)
 _OPS = ("mean", "sum", "var", "quantile", "cov", "ewma", "min", "max",
-        "idxmin", "idxmax")
+        "idxmin", "idxmax", "scale")
 
 
 def stream_roll(
@@ -89,7 +89,8 @@ def stream_roll(
     window reduce over the carried hist) | 'idxmin' | 'idxmax'
     (window-relative extreme index, most-recent ties; the carry adds
     the global row count for the expanding-phase series position) |
-    'quantile' (equal-weight
+    'scale' (z-score of the most recent non-NA window value, Welford
+    carry shared with 'var') | 'quantile' (equal-weight
     dual multiset, HF2 emission at ``p``) | 'cov' (bivariate Welford
     co-moment over ``value`` and ``y``, pairwise-complete) | 'ewma'
     (time-decay EWMA over the ORDER column's event time at
@@ -143,6 +144,9 @@ def stream_roll(
             res, kstate = K.online_sum(x, width, min_obs=min_obs, state=kstate)
         elif op == "var":
             res, kstate = K.online_var(x, width, min_obs=min_obs, state=kstate)
+        elif op == "scale":
+            res, kstate = K.online_scale(x, width, min_obs=min_obs,
+                                         state=kstate)
         elif op == "cov":
             yv = batch[y].to_numpy(dtype=np.float64, na_value=np.nan)
             res, kstate = K.online_cov(x, yv, width, min_obs=min_obs,
@@ -201,7 +205,7 @@ def _pack(op: str, s: dict) -> tuple:
         return (hist, aux, [], [])
     if op == "sum":
         return (hist, [float(s["sum_x"]), float(s["n_obs"])], [], [])
-    if op == "var":
+    if op in ("var", "scale"):
         return (hist, [float(s["n_obs"]), float(s["mean"]), float(s["M2"])],
                 [], [])
     return (hist, [], [float(v) for v in s["lower"]],
@@ -222,7 +226,7 @@ def _unpack(op: str, hist, aux, lower, upper) -> dict:
                 "hist": hist}
     if op == "sum":
         return {"sum_x": aux[0], "n_obs": int(aux[1]), "hist": hist}
-    if op == "var":
+    if op in ("var", "scale"):
         return {"n_obs": int(aux[0]), "mean": aux[1], "M2": aux[2],
                 "hist": hist}
     if op == "ewma":

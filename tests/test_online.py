@@ -182,3 +182,41 @@ def test_online_idxminmax_matches_batch_contract():
                         x[lo:hi], width, mode=mode, min_obs=mo, state=st)
                     parts.append(seg)
                 assert _same(np.concatenate(parts), want), (mode, width, mo)
+
+
+def test_online_scale_matches_naive():
+    """online_scale == a naive two-pass z-score replay of the batch
+    roll_scale contract (most-recent-non-NA value, n_obs>1 + var>eps
+    emission, min_obs gate), within the online-vs-two-pass ~kappa*eps
+    class the var/cov twins document (5e-8 band); chunked state carry
+    equals the single pass exactly."""
+    rng = np.random.default_rng(3)
+    x = np.round(rng.normal(50, 20, 300), 2)
+    x[rng.random(300) < 0.2] = np.nan
+    x[100:110] = 7.0  # a zero-variance stretch -> NULL (var <= eps)
+
+    def naive(x, width, min_obs):
+        out = np.full(len(x), np.nan)
+        for i in range(len(x)):
+            win = x[max(0, i - width + 1): i + 1]
+            obs = win[~np.isnan(win)]
+            if len(obs) < max(min_obs, 2):
+                continue
+            v = obs.var(ddof=1)
+            if v > np.finfo(float).eps:
+                out[i] = (obs[-1] - obs.mean()) / np.sqrt(v)
+        return out
+
+    for width in (2, 5, 10, 30):
+        for mo in (1, 5):
+            want = naive(x, width, mo)
+            got, _ = K.online_scale(x, width, min_obs=mo)
+            assert np.array_equal(np.isnan(got), np.isnan(want)), (width, mo)
+            m = ~np.isnan(got)
+            assert np.allclose(got[m], want[m], rtol=0, atol=5e-8), (width, mo)
+            st, parts = None, []
+            for lo, hi in ((0, 17), (17, 18), (18, 150), (150, 300)):
+                seg, st = K.online_scale(x[lo:hi], width, min_obs=mo, state=st)
+                parts.append(seg)
+            g2 = np.concatenate(parts)
+            assert np.array_equal(g2, got, equal_nan=True), (width, mo)

@@ -66,6 +66,7 @@ def ordered_stream_dir(spark, tmp_path_factory):
     ("max", {}),
     ("idxmin", {}),
     ("idxmax", {}),
+    ("scale", {}),
 ])
 def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     from roll_spark.streaming.rolling import stream_roll
@@ -101,6 +102,10 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
             # test_online.py; here the axis under test is the micro-batch
             # state carry (hist + global row count)
             want, _ = K.online_idxminmax(series, WIDTH, mode=op[3:], min_obs=2)
+        elif op == "scale":
+            # kernel verified vs the naive z-score contract in
+            # test_online.py; this checks the micro-batch state carry
+            want, _ = K.online_scale(series, WIDTH, min_obs=2)
         elif op == "quantile":
             want = K.conv_quantile(series, WIDTH, 0.5, min_obs=2)
         elif op == "ewma":
