@@ -516,7 +516,8 @@ def q_stream_roll_mean_w10(spark, sf_dir):
 
 
 def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5,
-                      y=None, rnd=None, halflife_s=None):
+                      y=None, rnd=None, halflife_s=None, width=10,
+                      value_sql=None):
     """Shared harness for the stateful-streaming gates: re-lay events as
     four time-range files (global time split preserves each user's order
     across files — the append-only delivery the operator needs), drain
@@ -535,6 +536,8 @@ def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5,
 
     base = tempfile.mkdtemp(prefix=f"roll_{qname}_")
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    if value_sql is not None:  # derived series (e.g. value/100 for prod)
+        ev = ev.withColumn("value", F.expr(value_sql))
     if y is not None:
         ev = ev.withColumn("y", F.expr(y))
     parts = ev.withColumn("part", F.ntile(4).over(W_.orderBy("ts")))
@@ -550,7 +553,7 @@ def _stream_roll_gate(spark, sf_dir, *, op, min_obs, alias, qname, p=0.5,
         os.utime(dst, (now - 60 + i, now - 60 + i))
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
     sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    out = stream_roll(sdf, "value", "user_id", "ts", 10, op=op, p=p,
+    out = stream_roll(sdf, "value", "user_id", "ts", width, op=op, p=p,
                       y=None if y is None else "y", min_obs=min_obs,
                       halflife_s=halflife_s, out="m")
     q = (out.writeStream.format("memory").queryName(qname)
@@ -658,6 +661,20 @@ def q_stream_roll_idxmax_w10(spark, sf_dir):
     return _stream_roll_gate(
         spark, sf_dir, op="idxmax", min_obs=1, alias="sidxmax10",
         qname="stream_roll_idxmax_gate", rnd=lambda c: c.cast("int"),
+    )
+
+
+def q_stream_roll_prod_w4(spark, sf_dir):
+    """STATEFUL STREAMING rolling product (width 4 over value/100, the
+    same magnitude-tamed series as the batch roll_prod_w4 gate): the
+    online kernel multiplies the carried raw window DIRECTLY — exact
+    zeros and signs with no log-sum detour (that formulation exists to
+    stay inside a Catalyst Window) and no eviction division (which a
+    single zero would corrupt). Oracle = DuckDB's windowed product()."""
+    return _stream_roll_gate(
+        spark, sf_dir, op="prod", min_obs=4, alias="sprod4",
+        qname="stream_roll_prod_gate", width=4,
+        value_sql="value / 100.0",
     )
 
 
@@ -1680,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_sum_w10": q_stream_roll_sum_w10,
         "stream_roll_idxmax_w10": q_stream_roll_idxmax_w10,
         "stream_roll_scale_w10": q_stream_roll_scale_w10,
+        "stream_roll_prod_w4": q_stream_roll_prod_w4,
         "tier_retention_expire": q_tier_retention_expire,
         "raw_compress_policy": q_raw_compress_policy,
         # -- freshest driver evidence is r2: rotate in ------------------
@@ -1714,7 +1732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_trigram": q_doc_lang_trigram,
         "roll_skew_kurt_w20": q_roll_skew_kurt_w20,
         "roll_mad_w10": q_roll_mad_w10,
-        "roll_nunique_w10": q_roll_nunique_w10,
         "ewma_halflife_7d": q_ewma_halflife_7d,
         "tier_1h_ohlc": q_tier_1h_ohlc,
         "roll_acf_w20": q_roll_acf_w20,
@@ -1735,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "media_features": q_media_features,
+        "roll_nunique_w10": q_roll_nunique_w10,
         "roll_cov_matrix_pairwise_w10": q_roll_cov_matrix_pairwise_w10,
         "roll_mean_completeobs_w10": q_roll_mean_completeobs_w10,
         "roll_cov_xy_w10": q_roll_cov_xy_w10,
@@ -3340,6 +3358,13 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN rn <= 10 THEN rm ELSE 10 - rn + rm END AS INT)
                 AS sidxmax10
             FROM m""",
+        # streamed direct window product == DuckDB's windowed product()
+        "stream_roll_prod_w4": f"""
+            SELECT user_id, ts,
+              ROUND(1e-7 + CASE WHEN count(value) OVER ({_W4}) >= 4
+                    THEN product(value / 100.0) OVER ({_W4}) END, 6) + 0.0
+                AS sprod4
+            FROM events""",
         # streamed online z-score == the batch roll_scale SQL (same
         # form as roll_scale_w10, coarser rounding for the online class)
         "stream_roll_scale_w10": f"""

@@ -1352,6 +1352,36 @@ def online_minmax(x, width, mode="min", min_obs=1, state=None):
                  "n_obs": int((~np.isnan(tail)).sum())}
 
 
+def online_prod(x, width, min_obs=1, state=None):
+    """State-carrying rolling product for streaming: like
+    online_minmax the carry is the trailing width-1 raw values, and the
+    batch is one vectorized nanprod over strided windows — DIRECT
+    multiplication, so zeros and signs are exact by construction (the
+    batch engine's log-sum + zero/sign tracking exists to stay inside a
+    Catalyst Window; a numpy window reduce doesn't need it, and a
+    running-product-with-eviction-division recursion would corrupt on
+    any zero). Returns ``(out, state)``."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    hist = (np.asarray(state["hist"], dtype=np.float64)
+            if state is not None else np.full(width - 1, np.nan))
+    if hist.size != width - 1:  # same normalize as online_minmax
+        hist = hist[max(0, hist.size - (width - 1)):]
+        pad = np.full(width - 1 - hist.size, np.nan)
+        hist = np.concatenate([pad, hist])
+    xp = np.concatenate([hist, x])
+    out = np.full(n, np.nan)
+    if n:
+        wins = np.lib.stride_tricks.sliding_window_view(xp, width)
+        nan_mask = np.isnan(wins)
+        n_obs = width - nan_mask.sum(axis=1)
+        prod = np.where(nan_mask, 1.0, wins).prod(axis=1)
+        out = np.where(n_obs >= max(min_obs, 1), prod, np.nan)
+    tail = xp[len(xp) - (width - 1):] if width > 1 else np.empty(0)
+    return out, {"hist": list(tail),
+                 "n_obs": int((~np.isnan(tail)).sum())}
+
+
 def online_idxminmax(x, width, mode="min", min_obs=1, state=None):
     """State-carrying rolling idxmin/idxmax for streaming — the online
     twin of window_ops._idx_extreme (reference roll_vec.h:1345-1659):

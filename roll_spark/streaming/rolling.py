@@ -65,7 +65,7 @@ def _numeric_order_to_us(o: pd.Series) -> np.ndarray:
 
 # op name -> (kernel, state pack/unpack as flat double arrays)
 _OPS = ("mean", "sum", "var", "quantile", "cov", "ewma", "min", "max",
-        "idxmin", "idxmax", "scale")
+        "idxmin", "idxmax", "scale", "prod")
 
 
 def stream_roll(
@@ -90,7 +90,9 @@ def stream_roll(
     (window-relative extreme index, most-recent ties; the carry adds
     the global row count for the expanding-phase series position) |
     'scale' (z-score of the most recent non-NA window value, Welford
-    carry shared with 'var') | 'quantile' (equal-weight
+    carry shared with 'var') | 'prod' (direct window nanprod over the
+    carried hist — exact zeros/signs; streaming any/all are stream
+    min/max over a derived 0/1 column) | 'quantile' (equal-weight
     dual multiset, HF2 emission at ``p``) | 'cov' (bivariate Welford
     co-moment over ``value`` and ``y``, pairwise-complete) | 'ewma'
     (time-decay EWMA over the ORDER column's event time at
@@ -154,6 +156,9 @@ def stream_roll(
         elif op in ("min", "max"):
             res, kstate = K.online_minmax(x, width, mode=op,
                                           min_obs=min_obs, state=kstate)
+        elif op == "prod":
+            res, kstate = K.online_prod(x, width, min_obs=min_obs,
+                                        state=kstate)
         elif op in ("idxmin", "idxmax"):
             res, kstate = K.online_idxminmax(x, width, mode=op[3:],
                                              min_obs=min_obs, state=kstate)
@@ -196,7 +201,7 @@ def _pack(op: str, s: dict) -> tuple:
         return ([], [float(s["num"]), float(s["den"]), float(s["t"]),
                      float(s["n_obs"])], [], [])
     hist = [float(v) for v in s["hist"]]
-    if op in ("min", "max"):
+    if op in ("min", "max", "prod"):
         return (hist, [float(s["n_obs"])], [], [])
     if op in ("idxmin", "idxmax"):
         return (hist, [float(s["r"])], [], [])
@@ -217,7 +222,7 @@ def _unpack(op: str, hist, aux, lower, upper) -> dict:
         pairs = [(hist[i], hist[i + 1]) for i in range(0, len(hist), 2)]
         return {"n_obs": int(aux[0]), "mx": aux[1], "my": aux[2],
                 "C": aux[3], "hist": pairs}
-    if op in ("min", "max"):
+    if op in ("min", "max", "prod"):
         return {"hist": hist, "n_obs": int(aux[0])}
     if op in ("idxmin", "idxmax"):
         return {"hist": hist, "r": int(aux[0])}

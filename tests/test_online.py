@@ -220,3 +220,33 @@ def test_online_scale_matches_naive():
                 parts.append(seg)
             g2 = np.concatenate(parts)
             assert np.array_equal(g2, got, equal_nan=True), (width, mo)
+
+
+def test_online_prod_matches_naive():
+    """online_prod == the naive per-window product (exact zeros/signs,
+    NaN exclusion, min_obs gate); chunked carry == single pass."""
+    rng = np.random.default_rng(11)
+    x = np.round(rng.normal(0.0, 1.5, 250), 2)  # mixed signs
+    x[rng.random(250) < 0.2] = np.nan
+    x[40] = 0.0  # exact zero through the window
+
+    def naive(x, width, min_obs):
+        out = np.full(len(x), np.nan)
+        for i in range(len(x)):
+            win = x[max(0, i - width + 1): i + 1]
+            obs = win[~np.isnan(win)]
+            if len(obs) >= max(min_obs, 1):
+                out[i] = np.prod(obs)
+        return out
+
+    for width in (1, 4, 10):
+        for mo in (1, 4):
+            want = naive(x, width, mo)
+            got, _ = K.online_prod(x, width, min_obs=mo)
+            assert _same(got, want), (width, mo)
+            st, parts = None, []
+            for lo, hi in ((0, 41), (41, 42), (42, 130), (130, 250)):
+                seg, st = K.online_prod(x[lo:hi], width, min_obs=mo, state=st)
+                parts.append(seg)
+            assert np.array_equal(np.concatenate(parts), got,
+                                  equal_nan=True), (width, mo)

@@ -67,6 +67,7 @@ def ordered_stream_dir(spark, tmp_path_factory):
     ("idxmin", {}),
     ("idxmax", {}),
     ("scale", {}),
+    ("prod", {}),
 ])
 def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     from roll_spark.streaming.rolling import stream_roll
@@ -91,7 +92,7 @@ def test_stream_roll_equals_batch(spark, ordered_stream_dir, tmp_path, op, kw):
     assert len(got) == N_CONVS * N_TURNS
 
     kernel = {"mean": K.online_mean, "sum": K.online_sum,
-              "var": K.online_var}.get(op)
+              "var": K.online_var, "prod": K.online_prod}.get(op)
     for c in range(N_CONVS):
         sub = pdf[pdf.conv_id == f"c{c}"].sort_values("turn_idx")
         series = sub["text_len"].to_numpy(dtype=np.float64)
