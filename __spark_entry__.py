@@ -1360,6 +1360,21 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return out.select("da", "db", _r6(F.col("jaccard")).alias("jaccard"))
 
 
+def q_ngram_jaccard_frac(spark, sf_dir):
+    """Data-driven stop-shingle cap: threshold = frac * N where N (corpus
+    doc count) is a 1-row broadcast aggregate inside the plan, so the cap
+    tracks the corpus instead of being a constant tuned at one scale.
+    The oracle replays the same cap in DOUBLE arithmetic (0.05::DOUBLE *
+    count(*)::DOUBLE) so an exact-decimal DuckDB product can't disagree
+    with Spark's float64 at an integer boundary."""
+    from roll_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2,
+                              max_shingle_df_frac=0.05)
+    return out.select("da", "db", _r6(F.col("jaccard")).alias("jaccard"))
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     from roll_spark.datapipe.dedup import embedding_neardup_pairs
 
@@ -1715,7 +1730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1d_cascade": q_tier_1d_cascade,
         # -- implementation touched in round 5 --------------------------
         "roll_trimmean_w10": q_roll_trimmean_w10,
-        "stream_roll_mean_w10": q_stream_roll_mean_w10,
+        # stream_roll_mean_w10 (r4-green) yields its slot to the new
+        # ngram_jaccard_frac gate: its online_mean kernel is identically
+        # exercised in-window by the new stream_roll_sum/var gates
+        "ngram_jaccard_frac": q_ngram_jaccard_frac,
         "stream_roll_quantile_w10": q_stream_roll_quantile_w10,
         "stream_roll_cov_w10": q_stream_roll_cov_w10,
         "stream_sessionize_1h": q_stream_sessionize_1h,
@@ -1754,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 50+: r4-driver-green, or r3-green with an
         # ---- in-window same-code-path sibling --------------------------
         "event_transitions": q_event_transitions,
+        "stream_roll_mean_w10": q_stream_roll_mean_w10,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "media_features": q_media_features,
@@ -2440,6 +2459,25 @@ def _datapipe_oracles() -> dict[str, str]:
         # Jaccard over the capped shingle universe (sizes post-cap too)
         "ngram_jaccard_pairs": _SHINGLES + """
             , keep AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 100),
+            s2 AS (SELECT s.* FROM s JOIN keep USING (sh)),
+            c AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+              FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sz AS (SELECT doc_id, count(*) AS nsh FROM s2 GROUP BY 1)
+            SELECT da, db,
+              ROUND(1e-7 + common::DOUBLE / (x.nsh + y.nsh - common), 6) AS jaccard
+            FROM c JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+            WHERE common::DOUBLE / (x.nsh + y.nsh - common) >= 0.2""",
+        # data-driven frac cap: threshold = 0.05 * N replayed in DOUBLE
+        # arithmetic (not DuckDB's exact DECIMAL) so both engines compute
+        # the identical IEEE-754 product; engine drops df > cap, oracle
+        # keeps df <= cap — complements
+        "ngram_jaccard_frac": _SHINGLES + """
+            , cap AS (SELECT 0.05::DOUBLE * count(*)::DOUBLE AS c
+                      FROM documents),
+            keep AS (SELECT sh FROM s GROUP BY sh
+                     HAVING count(*)::DOUBLE <= (SELECT c FROM cap)),
             s2 AS (SELECT s.* FROM s JOIN keep USING (sh)),
             c AS (
               SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
