@@ -197,6 +197,67 @@ def test_small_watermark_fails_loudly(spark, tmp_path):
         )
 
 
+def test_stream_killed_and_resumed_equals_batch(spark, raw_dir, tmp_path,
+                                                monkeypatch):
+    """Multi-day soak of the crash/resume surface: the ingest is KILLED
+    mid-run — after two committed micro-batches, dying INSIDE a day swap
+    (one live day renamed aside, replacement never landed) — then
+    resumed from the same checkpoint. Structured Streaming replays the
+    uncommitted batch (at-least-once), the upsert's replace-by-key
+    idempotency absorbs the replay, and ``_recover`` heals the
+    half-swapped day; the drained store must equal the cold batch
+    recomputation, and the 1h/1d tiers cascaded from it must equal the
+    batch cascade."""
+    import os
+
+    store_path = str(tmp_path / "tier_1m")
+    ckpt = str(tmp_path / "ckpt")
+    args = (spark, raw_dir, SCHEMA, "text_len", "ts", "conv_id")
+    kw = dict(tier="1m", store_path=store_path, checkpoint_dir=ckpt,
+              watermark="3650 days", max_files_per_trigger=1)
+
+    calls = {"n": 0}
+    orig = TierStore.upsert
+
+    def killer(self, df):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            live = sorted(
+                os.path.join(store_path, d)
+                for d in os.listdir(store_path) if d.startswith("_day=")
+            )
+            # die mid-swap: the oldest day's live copy was renamed aside
+            # and the process never wrote the replacement
+            if live:
+                os.replace(live[0], live[0] + "__old")
+            raise RuntimeError("injected kill")
+        orig(self, df)
+
+    monkeypatch.setattr(TierStore, "upsert", killer)
+    with pytest.raises(Exception, match="injected kill"):
+        run_stream_to_tier(*args, **kw)
+    assert calls["n"] == 3, "kill must land after two committed batches"
+    assert any(d.endswith("__old") for d in os.listdir(store_path)), \
+        "fixture must leave a half-swapped day behind"
+
+    # restart: same checkpoint, same store, healthy upsert
+    monkeypatch.setattr(TierStore, "upsert", orig)
+    run_stream_to_tier(*args, **kw)
+
+    raw = spark.read.parquet(raw_dir)
+    got = _stats_pdf(spark.read.parquet(store_path))
+    want = _stats_pdf(T.rollup_raw(raw, "text_len", "ts", "conv_id", "1m"))
+    _assert_tier_equal(got, want)
+    # fixture really is multi-day (the swap-crash surface needs >=2 days)
+    days = {d for d in os.listdir(store_path) if d.startswith("_day=")}
+    assert len(days) >= 3 and not any(d.endswith("__old") for d in days)
+
+    got_c = cascade_from_store(spark, store_path, "conv_id", ("1h", "1d"))
+    want_c = T.cascade(raw, "text_len", "ts", "conv_id", ("1m", "1h", "1d"))
+    _assert_tier_equal(_stats_pdf(got_c["1h"]), _stats_pdf(want_c["1h"]))
+    _assert_tier_equal(_stats_pdf(got_c["1d"]), _stats_pdf(want_c["1d"]))
+
+
 def test_store_expire_retention(spark, raw_dir, tmp_path):
     """Retention expiry (the drop_chunks analog): days strictly before
     the cutoff vanish, newer days' files are byte-untouched, the
