@@ -664,6 +664,18 @@ def q_stream_roll_idxmax_w10(spark, sf_dir):
     )
 
 
+def q_stream_roll_idxmin_w10(spark, sf_dir):
+    """STATEFUL STREAMING rolling idxmin — the symmetric twin of
+    stream_roll_idxmax_w10 (same trailing-window + global-row-count
+    carry, opposite extreme; most-recent ties per the reference's
+    roll_vec.h:1484 contract). Oracle = the batch struct-min window SQL
+    with the -rn negation picking the LATEST tied position."""
+    return _stream_roll_gate(
+        spark, sf_dir, op="idxmin", min_obs=1, alias="sidxmin10",
+        qname="stream_roll_idxmin_gate", rnd=lambda c: c.cast("int"),
+    )
+
+
 def q_stream_roll_prod_w4(spark, sf_dir):
     """STATEFUL STREAMING rolling product (width 4 over value/100, the
     same magnitude-tamed series as the batch roll_prod_w4 gate): the
@@ -1716,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_var_w10": q_stream_roll_var_w10,
         "stream_roll_sum_w10": q_stream_roll_sum_w10,
         "stream_roll_idxmax_w10": q_stream_roll_idxmax_w10,
+        "stream_roll_idxmin_w10": q_stream_roll_idxmin_w10,
         "stream_roll_scale_w10": q_stream_roll_scale_w10,
         "stream_roll_prod_w4": q_stream_roll_prod_w4,
         "tier_retention_expire": q_tier_retention_expire,
@@ -1737,7 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_quantile_w10": q_stream_roll_quantile_w10,
         "stream_roll_cov_w10": q_stream_roll_cov_w10,
         "stream_sessionize_1h": q_stream_sessionize_1h,
-        "stream_ewma_halflife_7d": q_stream_ewma_halflife_7d,
+        # stream_ewma_halflife_7d (r4-green) yields its slot to the new
+        # stream_roll_idxmin gate: its r5 touch (the epoch-µs numeric-
+        # order guard) is not in its gate's path (timestamp order)
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
         "winnow_cc_clusters": q_winnow_cc_clusters,
@@ -1773,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- in-window same-code-path sibling --------------------------
         "event_transitions": q_event_transitions,
         "stream_roll_mean_w10": q_stream_roll_mean_w10,
+        "stream_ewma_halflife_7d": q_stream_ewma_halflife_7d,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "media_features": q_media_features,
@@ -3400,6 +3416,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts,
               CAST(CASE WHEN rn <= 10 THEN rm ELSE 10 - rn + rm END AS INT)
                 AS sidxmax10
+            FROM m""",
+        # streamed online extreme-index (min form) == the batch
+        # struct-min SQL; -rn negation -> LATEST tied position
+        "stream_roll_idxmin_w10": """
+            WITH t AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events
+            ), m AS (
+              SELECT user_id, ts, rn,
+                     -(min(struct_pack(v := value, nj := -rn)) OVER
+                       (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)).nj AS rm
+              FROM t
+            )
+            SELECT user_id, ts,
+              CAST(CASE WHEN rn <= 10 THEN rm ELSE 10 - rn + rm END AS INT)
+                AS sidxmin10
             FROM m""",
         # streamed direct window product == DuckDB's windowed product()
         "stream_roll_prod_w4": f"""
