@@ -45,6 +45,10 @@ EXPECT = {
     # inverted-index self-join: doc-window + shingle self-join + pair agg;
     # NEVER a cartesian (no BroadcastNestedLoopJoin over the corpus)
     "ngram_jaccard_pairs": dict(max_exchange=8, forbid_cartesian=True),
+    # frac form: same inverted-index shape + a 1-row SinglePartition N
+    # aggregate whose broadcast rejoin is a deliberate 1-row BNLJ-Cross
+    # (not a data cartesian; the forbid matches CartesianProduct/Inner)
+    "ngram_jaccard_frac": dict(max_exchange=8, forbid_cartesian=True),
     "emb_neardup_lsh": dict(max_exchange=8, forbid_cartesian=True),
     # round-3 additions
     "roll_mean_completeobs_w10": dict(max_exchange=1, max_sort=1),
