@@ -369,6 +369,84 @@ def tier_histogram(
     )
 
 
+def tier_quantile_from_histogram(
+    hist: DataFrame,
+    by: Cols,
+    tier: str,
+    p: float,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    bucket_in: str = "bucket_ts",
+    bucket_out: str = "bucket_ts",
+    out: str = "q",
+) -> DataFrame:
+    """Approximate p-quantile per (series, coarse bucket) extracted from
+    a FINER tier's ``tier_histogram`` output — the TimescaleDB
+    percentile-on-continuous-aggregate pattern: the distribution view
+    cascades through retention tiers (bin-wise count addition), so a
+    p90-per-hour query reads sketch-sized histogram rows and NEVER
+    re-scans raw.
+
+    Estimator: target rank k = p*n over the merged bins (cumulative in
+    ascending bin order); the first bin whose cumulative count reaches k
+    is linearly interpolated: q = bin_lo + step * (k - cum_before)/cnt.
+    Within-bin uniformity is the only approximation, so (when lo/hi
+    cover the data) the estimate is within one bin width of the exact
+    inverse-CDF (type-1) quantile — the k=ceil(p*n) order statistic
+    lives in the selected bin, whose span is one step (asserted in
+    tests/test_tiers.py); the algebra itself is deterministic IEEE
+    double arithmetic, replayable exactly by any engine (the driver
+    oracle does).
+
+    Plan shape: bin-merge groupBy + per-bucket pack groupBy (both
+    sketch-sized inputs: at most n_bins rows per (series, fine bucket)),
+    then pure JVM higher-order functions (sort_array + aggregate) — two
+    small exchanges, zero sorts, zero windows, no join. ``lo/hi/n_bins``
+    must match the histogram's construction (`hi` is unused by the
+    algebra — bins are keyed by index — but kept so call sites carry
+    the full histogram spec).
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError("need 0 < p < 1")
+    step = (float(hi) - float(lo)) / int(n_bins)
+    keys = [*_as_list(by),
+            bucket_col(F.col(bucket_in), tier).alias(bucket_out)]
+    merged = (
+        hist.groupBy(*keys, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    packed = (
+        merged.groupBy(*_as_list(by), bucket_out)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("_bins"),
+            F.sum("cnt").alias("_n"),
+        )
+    )
+    k = F.lit(float(p)) * F.col("_n")  # double target rank
+    zero = F.lit(0.0)
+    init = F.struct(zero.alias("cum"),
+                    F.lit(None).cast("double").alias("res"))
+    step_l = F.lit(float(step))
+    lo_l = F.lit(float(lo))
+
+    def _merge(acc, s):
+        cnt = s["cnt"].cast("double")
+        hit = acc["res"].isNull() & (acc["cum"] + cnt >= k)
+        interp = (lo_l + s["bin"].cast("double") * step_l
+                  + step_l * ((k - acc["cum"]) / cnt))
+        return F.struct(
+            (acc["cum"] + cnt).alias("cum"),
+            F.when(hit, interp).otherwise(acc["res"]).alias("res"),
+        )
+
+    return packed.select(
+        *_as_list(by), bucket_out,
+        F.aggregate("_bins", init, _merge, lambda a: a["res"]).alias(out),
+    )
+
+
 def tier_nunique(
     df: DataFrame,
     col: str,

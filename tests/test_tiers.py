@@ -219,6 +219,51 @@ def test_tier_histogram_totals_and_merge(spark, tdf):
     assert totals == want
 
 
+def test_tier_quantile_from_histogram(spark, tdf):
+    """Percentile-on-continuous-aggregate: the p-quantile extracted from
+    1m histograms merged to 1h (a) EXACTLY equals a numpy replay of the
+    declared estimator (cumulative bins + within-bin linear interp —
+    deterministic double algebra), and (b) is within ONE BIN WIDTH of
+    the exact inverse-CDF (type-1) quantile for every bucket whose data
+    lies inside [lo, hi) — the k=ceil(p*n) order statistic lives in the
+    selected bin."""
+    import math
+
+    lo, hi, nb, p = 0.0, 400.0, 8, 0.75
+    step = (hi - lo) / nb
+    h1m = T.tier_histogram(tdf, "text_len", "ts", "conv_id", "1m",
+                           lo=lo, hi=hi, n_bins=nb)
+    got = {(r.conv_id, r.bucket_ts): r.q for r in
+           T.tier_quantile_from_histogram(
+               h1m, "conv_id", "1h", p, lo=lo, hi=hi, n_bins=nb).collect()}
+
+    raw = tdf.select("conv_id", F.date_trunc("hour", "ts").alias("b"),
+                     "text_len").collect()
+    series: dict = {}
+    for r in raw:
+        if r.text_len is not None:
+            series.setdefault((r.conv_id, r.b), []).append(float(r.text_len))
+    assert set(got) == set(series)
+    for key, vals in series.items():
+        v = np.sort(np.asarray(vals))
+        bins = np.clip(np.floor((v - lo) / step), 0, nb - 1).astype(int)
+        cnts: dict = {}
+        for b in bins:
+            cnts[int(b)] = cnts.get(int(b), 0) + 1
+        n = len(v)
+        k = p * n
+        cum, res = 0.0, None
+        for bi in sorted(cnts):
+            c = float(cnts[bi])
+            if res is None and cum + c >= k:
+                res = lo + bi * step + step * ((k - cum) / c)
+            cum += c
+        assert got[key] == pytest.approx(res, rel=0, abs=1e-12), key
+        if v[0] >= lo and v[-1] < hi:  # in-range: one-bin error bound
+            t1 = v[min(n - 1, max(0, math.ceil(p * n) - 1))]
+            assert abs(res - t1) <= step + 1e-9, key
+
+
 def test_tier_hll_merge_equals_direct(spark, tdf):
     """HLL cascade contract: estimates off 1m sketches MERGED to 1h
     equal estimates off sketches built directly at 1h (DataSketches

@@ -131,6 +131,10 @@ EXPECT = {
     "roll_iqr_w10": dict(max_exchange=1, max_sort=1, max_window=1),
     # histograms: one partial-agg groupBy, sort-free
     "tier_1h_histogram": dict(max_exchange=1, max_sort=0, max_window=0),
+    # percentile-from-histogram: raw->1m hist groupBy + bin-merge +
+    # per-bucket pack (everything after the first agg is sketch-sized);
+    # the quantile extraction is pure HOF projections — no sort/window
+    "tier_1h_p90_hist": dict(max_exchange=3, max_sort=0, max_window=0),
     # exact distincts: two-phase expand (partial dedup + count)
     "tier_1h_nunique": dict(max_exchange=2, max_sort=0, max_window=0),
     # prediction/residual = projections over the bare roll_lm fit
