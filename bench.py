@@ -80,6 +80,7 @@ HEADLINE = [
     "doc_tfidf_top5",       # tf-idf top terms (vocab join + rank pushdown)
     "event_transitions",    # Markov transition matrix (lag window + hash agg)
     "tier_1h_realtime",     # real-time continuous aggregate (seamed union)
+    "tier_1h_p90_hist",     # percentile from merged tier histograms (HOFs)
 ]
 # stream_* gates are correctness queries, not headliners: each spins up
 # a Structured Streaming query over temp files — wall measures sink

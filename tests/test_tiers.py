@@ -264,6 +264,50 @@ def test_tier_quantile_from_histogram(spark, tdf):
             assert abs(res - t1) <= step + 1e-9, key
 
 
+@pytest.mark.parametrize("vals,p", [
+    ([700.0, -50.0, 900.0], 0.9),        # all out-of-range: edge-clamped bins
+    ([5.0] * 7, 0.5),                    # all-ties: single bin, k mid-bin
+    ([42.0], 0.99),                      # n=1, p near 1
+    ([0.0, 50.0, 100.0, 150.0], 0.25),   # values exactly ON bin boundaries
+    ([10.0, 20.0, 30.0, 40.0], 0.01),    # p near 0: k < first bin count
+])
+def test_tier_quantile_histogram_edges(spark, vals, p):
+    """Adversarial corners of the histogram-quantile estimator through
+    the REAL Spark op: out-of-range clamping, ties, n=1, boundary
+    values, extreme p — each must exactly equal the python replay of
+    the declared algebra (the error-bound clause doesn't apply
+    out-of-range, but the estimator must still be deterministic and
+    in [lo, hi] because clamped bins are)."""
+    import datetime
+
+    lo, hi, nb = 0.0, 200.0, 8
+    step = (hi - lo) / nb
+    rows = [("s", datetime.datetime(2025, 3, 1, 0, m), v)
+            for m, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, x double")
+    h = T.tier_histogram(df, "x", "ts", "conv_id", "1m",
+                         lo=lo, hi=hi, n_bins=nb)
+    out = T.tier_quantile_from_histogram(
+        h, "conv_id", "1h", p, lo=lo, hi=hi, n_bins=nb).collect()
+    assert len(out) == 1
+    got = out[0].q
+
+    cnts: dict = {}
+    for v in vals:
+        b = int(min(max(np.floor((v - lo) / step), 0), nb - 1))
+        cnts[b] = cnts.get(b, 0) + 1
+    n = len(vals)
+    k = p * n
+    cum, res = 0.0, None
+    for bi in sorted(cnts):
+        c = float(cnts[bi])
+        if res is None and cum + c >= k:
+            res = lo + bi * step + step * ((k - cum) / c)
+        cum += c
+    assert got == pytest.approx(res, rel=0, abs=0), (vals, p)
+    assert lo <= got <= hi
+
+
 def test_tier_hll_merge_equals_direct(spark, tdf):
     """HLL cascade contract: estimates off 1m sketches MERGED to 1h
     equal estimates off sketches built directly at 1h (DataSketches
