@@ -579,6 +579,11 @@ Round-5 scaling (this file's run above): median-pair efficiency 0.89,
 per-pair [0.868, 0.947, 0.89, 0.867, 0.97], min-of-min 0.954 — the
 north_rule >= 0.8 gate holds for the third consecutive full run.
 
+Late-round-5 addition: `tier_1h_p90_hist` becomes the 41st headliner
+(percentile extracted from merged tier histograms — sketch-sized HOF
+pipeline), so totals after its introduction carry one extra query vs
+the 40-query r4/r5 comparison above.
+
 ## Round-over-round (r3 -> r4, same machine class, min-of-iters)
 
 The driver's `BENCH_r03.json` capture truncates its tail, so the r3
