@@ -575,14 +575,19 @@ kept-slice accumulator costs nothing measurable) and `roll_var_w10`
 | winnow_cc_clusters | 3.686 | 3.218 | 0.87x |
 | roll_lm2_w20 | 2.043 | 1.875 | 0.92x |
 
-Round-5 scaling (this file's run above): median-pair efficiency 0.89,
-per-pair [0.868, 0.947, 0.89, 0.867, 0.97], min-of-min 0.954 — the
-north_rule >= 0.8 gate holds for the third consecutive full run.
+Round-5 scaling held across BOTH full runs this round: median-pair
+efficiency 0.89 (pairs [0.868, 0.947, 0.89, 0.867, 0.97], min-of-min
+0.954) mid-round and 0.847 (pairs [0.813, 0.847, 0.877, 0.835, 1.006],
+min-of-min 0.903) in the final run shown above — the north_rule >= 0.8
+gate holds for the fourth consecutive full run.
 
 Late-round-5 addition: `tier_1h_p90_hist` becomes the 41st headliner
 (percentile extracted from merged tier histograms — sketch-sized HOF
-pipeline), so totals after its introduction carry one extra query vs
-the 40-query r4/r5 comparison above.
+pipeline, 0.56 s) so totals after its introduction carry one extra
+query vs the 40-query r4/r5 comparison above; the final run's 40-query
+common set moved 31.1 s -> 29.7 s with zero >1.5x flags (worst:
+ngram_jaccard_pairs 1.47x, inside its documented 1.06-2.86 s noise
+span).
 
 ## Round-over-round (r3 -> r4, same machine class, min-of-iters)
 
