@@ -171,6 +171,43 @@ def q_tier_1h_p90_hist(spark, sf_dir):
     )
 
 
+def q_stream_tier_histogram(spark, sf_dir):
+    """STREAMING distribution tier: drain events into a per-bin 1m
+    histogram TierStore (replace-by-(user, bucket, bin) upserts), then
+    bin-wise-add to 1h. The oracle recomputes the 1h histogram cold
+    from raw — the driver hash proves the streamed sketch cascade
+    equals the batch tier_histogram through micro-batching, update-mode
+    cumulative rows, and the day-partitioned store."""
+    import tempfile
+
+    from roll_spark.streaming.rollup import (
+        TierStore, run_stream_histogram_to_tier,
+    )
+
+    base = tempfile.mkdtemp(prefix="roll_stream_hist_gate_")
+    ev = _events(spark, sf_dir)
+    ev.repartition(4).write.mode("overwrite").parquet(f"{base}/src")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    run_stream_histogram_to_tier(
+        spark, f"{base}/src", schema, "value", "ts", "user_id",
+        tier="1m", lo=0.0, hi=500.0, n_bins=20,
+        store_path=f"{base}/store", checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=1,
+    )
+    store = TierStore(spark, f"{base}/store", "user_id", "1m",
+                      extra_keys=("bin",), stat_cols=("cnt",))
+    step = 500.0 / 20
+    return (
+        store.read()
+        .groupBy("user_id",
+                 F.date_trunc("hour", "bucket_ts").cast("timestamp")
+                 .alias("bucket_ts"), "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("bin_lo", F.lit(0.0) + F.col("bin") * F.lit(step))
+        .withColumn("bin_hi", F.lit(0.0) + (F.col("bin") + 1) * F.lit(step))
+    )
+
+
 def q_tier_1h_nunique(spark, sf_dir):
     """Exact distinct event types per (user, hour) — cardinality
     telemetry; two-phase distinct aggregate (map-side dedup). The
@@ -1774,6 +1811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier_1h_p90_hist gate: its r5 touch (the empty-group-batch
         # guard) is unreachable in its gate path (non-empty batches)
         "tier_1h_p90_hist": q_tier_1h_p90_hist,
+        # roll_lm_multiy_w20 (r3-green) yields its slot to the new
+        # stream_tier_histogram gate: its fused XtX/Xty Arrow path is
+        # exercised in-window by roll_lm2_w20 (same-code-path sibling)
+        "stream_tier_histogram": q_stream_tier_histogram,
         # stream_ewma_halflife_7d (r4-green) yields its slot to the new
         # stream_roll_idxmin gate: its r5 touch (the epoch-µs numeric-
         # order guard) is not in its gate's path (timestamp order)
@@ -1805,7 +1846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_mean_range_1h": q_roll_mean_range_1h,
         "roll_lm2_w20": q_roll_lm2_w20,
         "roll_median_w400": q_roll_median_w400,
-        "roll_lm_multiy_w20": q_roll_lm_multiy_w20,
         "dedup_exact": q_dedup_exact,
         "asof_join_events": q_asof_join_events,
         # ---- position 50+: r4-driver-green, or r3-green with an
@@ -1814,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_roll_mean_w10": q_stream_roll_mean_w10,
         "stream_ewma_halflife_7d": q_stream_ewma_halflife_7d,
         "stream_sessionize_1h": q_stream_sessionize_1h,
+        "roll_lm_multiy_w20": q_roll_lm_multiy_w20,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "media_features": q_media_features,
@@ -2623,6 +2664,15 @@ def _datapipe_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # the STREAMED distribution tier must equal the batch histogram
+    # recomputed cold from raw — the streaming gate's oracle IS the
+    # batch gate's oracle, verbatim
+    d["stream_tier_histogram"] = d["tier_1h_histogram"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "roll_mean_w10": f"""
             SELECT user_id, ts,

@@ -126,6 +126,58 @@ def stream_rollup_raw(
     )
 
 
+HIST_STAT_COLS = ["cnt", "first_ts", "last_ts"]
+
+
+def stream_histogram_raw(
+    sdf: DataFrame,
+    value: str,
+    ts: str,
+    by: Cols,
+    tier: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    watermark: str | None = None,
+    bucket_out: str = "bucket_ts",
+) -> DataFrame:
+    """Streaming raw -> per-(series, bucket, bin) equi-width histogram
+    counts — the distribution tier's streaming twin (same bin algebra
+    as ``tiers.tier_histogram``: floor((v-lo)/step) clamped to the edge
+    bins). Update-mode rows are CUMULATIVE per (series, bucket, bin),
+    so the store upsert replaces by that 3-part key; counts stay
+    mergeable by addition for the coarser-tier cascade. ``first_ts`` /
+    ``last_ts`` event-time extremes ride along for the drain loop's
+    watermark-horizon guard (same contract as the moment tiers)."""
+    if not (n_bins > 0 and hi > lo):
+        raise ValueError("need n_bins > 0 and hi > lo")
+    if watermark is None:
+        watermark = "3650 days"
+    if dict(sdf.dtypes).get(ts) == "timestamp_ntz":
+        sdf = sdf.withColumn(ts, F.col(ts).cast("timestamp"))
+    v = F.col(value)
+    step = (float(hi) - float(lo)) / int(n_bins)
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(step))
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(n_bins) - 1))
+    return (
+        sdf.filter(v.isNotNull())
+        .withWatermark(ts, watermark)
+        .groupBy(
+            *_as_list(by),
+            F.window(F.col(ts), _WINDOW_DURATION[tier]).alias("_w"),
+            bin_.cast("int").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+        )
+        .withColumn(bucket_out, F.col("_w.start"))
+        .drop("_w")
+    )
+
+
 class TierStore:
     """Parquet-backed store of one tier's sufficient statistics,
     DAY-PARTITIONED (`_day=YYYY-MM-DD/` directories) with an exact
@@ -137,11 +189,21 @@ class TierStore:
     store is an Iceberg MERGE INTO keyed on (series, bucket_ts) over the
     same day partitioning."""
 
-    def __init__(self, spark: SparkSession, path: str, by: Cols, tier: str):
+    def __init__(self, spark: SparkSession, path: str, by: Cols, tier: str,
+                 *, extra_keys: tuple[str, ...] = (),
+                 stat_cols: tuple[str, ...] | None = None):
+        """``extra_keys`` extends the replace-by key beyond
+        (series, bucket_ts) — e.g. ``("bin",)`` for a histogram tier
+        whose update-mode rows are cumulative PER BIN; ``stat_cols``
+        overrides the stored value columns (default: the moment tiers'
+        sufficient statistics). Defaults preserve the original
+        moment-store behavior exactly."""
         self.spark = spark
         self.path = path
         self.by = _as_list(by)
         self.tier = tier
+        self.extra_keys = list(extra_keys)
+        self.stat_cols = list(stat_cols) if stat_cols is not None else list(T.STAT_COLS)
 
     # -- layout helpers ----------------------------------------------------
 
@@ -208,7 +270,7 @@ class TierStore:
         replaying a micro-batch is a no-op (idempotent recovery). Only
         the day partitions present in the batch are read, rewritten and
         swapped; every other day's files are untouched."""
-        cols = [*self.by, "bucket_ts", *T.STAT_COLS]
+        cols = [*self.by, "bucket_ts", *self.extra_keys, *self.stat_cols]
         new = updated.select(*cols).withColumn(
             "_day", F.date_format("bucket_ts", "yyyy-MM-dd")
         )
@@ -217,7 +279,7 @@ class TierStore:
             return
         cur = self._read_days(days)
         if cur is not None:
-            keys = [*self.by, "bucket_ts"]
+            keys = [*self.by, "bucket_ts", *self.extra_keys]
             kept = cur.join(new.select(*keys), on=keys, how="left_anti").withColumn(
                 "_day", F.date_format("bucket_ts", "yyyy-MM-dd")
             )
@@ -320,7 +382,18 @@ def run_stream_to_tier(
     sdf = reader.parquet(source_dir)
     stats = stream_rollup_raw(sdf, value, ts, by, tier, watermark=watermark)
     store = TierStore(spark, store_path, by, tier)
+    _drain_stats_to_store(stats, store, checkpoint_dir, watermark)
 
+
+def _drain_stats_to_store(stats: DataFrame, store: TierStore,
+                          checkpoint_dir: str,
+                          watermark: str | None) -> None:
+    """Shared drain loop: update-mode foreachBatch upserts of a
+    watermarked streaming aggregate into a TierStore, with the
+    watermark-horizon guard. ``stats`` must carry ``first_ts`` /
+    ``last_ts`` event-time extremes (all tier aggregates here do) —
+    the guard compares event time, not bucket starts.
+    """
     # The watermark is a correctness contract: an event arriving more
     # than ``watermark`` behind the observed max event time lands after
     # its window's state may have been EVICTED, so the re-aggregated
@@ -382,6 +455,42 @@ def run_stream_to_tier(
         if seen["violation"] is not None:
             raise RuntimeError(seen["violation"]) from e
         raise
+
+
+def run_stream_histogram_to_tier(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    value: str,
+    ts: str,
+    by: Cols,
+    *,
+    tier: str = "1m",
+    lo: float,
+    hi: float,
+    n_bins: int,
+    store_path: str,
+    checkpoint_dir: str,
+    watermark: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain a parquet directory as a stream into a per-bin histogram
+    TierStore (replace-by-(series, bucket, bin) upserts). Once drained
+    the store's counts EQUAL ``tiers.tier_histogram`` recomputed cold
+    from raw, and coarser-tier distributions follow by the same bin-wise
+    addition the batch path uses (tests/test_streaming.py). Same
+    watermark contract / guard / crash-safe store as the moment-tier
+    ingest."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(source_dir)
+    stats = stream_histogram_raw(sdf, value, ts, by, tier,
+                                 lo=lo, hi=hi, n_bins=n_bins,
+                                 watermark=watermark)
+    store = TierStore(spark, store_path, by, tier,
+                      extra_keys=("bin",), stat_cols=tuple(HIST_STAT_COLS))
+    _drain_stats_to_store(stats, store, checkpoint_dir, watermark)
 
 
 def cascade_from_store(

@@ -258,6 +258,61 @@ def test_stream_killed_and_resumed_equals_batch(spark, raw_dir, tmp_path,
     _assert_tier_equal(_stats_pdf(got_c["1d"]), _stats_pdf(want_c["1d"]))
 
 
+def test_stream_histogram_tier_equals_batch(spark, raw_dir, tmp_path):
+    """The distribution tier streams too: a drained per-bin histogram
+    store EQUALS tiers.tier_histogram recomputed cold from raw at 1m;
+    bin-wise addition to 1h equals the batch 1h histogram; and the
+    percentile extracted from the STREAMED store is bit-identical to
+    the batch extraction (identical merged inputs -> identical
+    deterministic estimator)."""
+    from roll_spark.streaming.rollup import run_stream_histogram_to_tier
+
+    lo, hi, nb = 0.0, 400.0, 8
+    store_path = str(tmp_path / "hist_1m")
+    run_stream_histogram_to_tier(
+        spark, raw_dir, SCHEMA, "text_len", "ts", "conv_id",
+        tier="1m", lo=lo, hi=hi, n_bins=nb, store_path=store_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        watermark="3650 days", max_files_per_trigger=2,
+    )
+    store = TierStore(spark, store_path, "conv_id", "1m",
+                      extra_keys=("bin",), stat_cols=("cnt",))
+    raw = spark.read.parquet(raw_dir)
+
+    got_1m = {(r.conv_id, r.bucket_ts, r.bin): r.cnt
+              for r in store.read().collect()}
+    want_1m = {(r.conv_id, r.bucket_ts, r.bin): r.cnt
+               for r in T.tier_histogram(raw, "text_len", "ts", "conv_id",
+                                         "1m", lo=lo, hi=hi,
+                                         n_bins=nb).collect()}
+    assert got_1m == want_1m
+
+    # bin-wise addition to 1h == batch 1h histogram
+    from pyspark.sql import functions as F
+    merged = (store.read()
+              .groupBy("conv_id", F.date_trunc("hour", "bucket_ts")
+                       .alias("bucket_ts"), "bin")
+              .agg(F.sum("cnt").alias("cnt")))
+    got_1h = {(r.conv_id, r.bucket_ts, r.bin): r.cnt for r in merged.collect()}
+    want_1h = {(r.conv_id, r.bucket_ts, r.bin): r.cnt
+               for r in T.tier_histogram(raw, "text_len", "ts", "conv_id",
+                                         "1h", lo=lo, hi=hi,
+                                         n_bins=nb).collect()}
+    assert got_1h == want_1h
+
+    # percentile off the streamed store == off the batch histograms
+    got_q = {(r.conv_id, r.bucket_ts): r.q for r in
+             T.tier_quantile_from_histogram(
+                 store.read(), "conv_id", "1h", 0.75,
+                 lo=lo, hi=hi, n_bins=nb).collect()}
+    want_q = {(r.conv_id, r.bucket_ts): r.q for r in
+              T.tier_quantile_from_histogram(
+                  T.tier_histogram(raw, "text_len", "ts", "conv_id", "1m",
+                                   lo=lo, hi=hi, n_bins=nb),
+                  "conv_id", "1h", 0.75, lo=lo, hi=hi, n_bins=nb).collect()}
+    assert got_q == want_q
+
+
 def test_store_expire_retention(spark, raw_dir, tmp_path):
     """Retention expiry (the drop_chunks analog): days strictly before
     the cutoff vanish, newer days' files are byte-untouched, the
