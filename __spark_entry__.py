@@ -208,6 +208,36 @@ def q_stream_tier_histogram(spark, sf_dir):
     )
 
 
+def q_stream_tier_1h_ohlc(spark, sf_dir):
+    """OHLC bars off the STREAMED store: the streaming moment tier
+    already carries first/last/min/max sufficient statistics, so the
+    candle view is a pure projection over the Chan-merged 1h cascade of
+    the drained 1m store — no new streaming operator, just composition.
+    Oracle = the batch OHLC SQL (arg_min/arg_max from raw), proving the
+    streamed first/last merge algebra equals batch end-to-end."""
+    import tempfile
+
+    from roll_spark.streaming.rollup import cascade_from_store, run_stream_to_tier
+
+    base = tempfile.mkdtemp(prefix="roll_stream_ohlc_gate_")
+    ev = _events(spark, sf_dir)
+    ev.repartition(4).write.mode("overwrite").parquet(f"{base}/src")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    run_stream_to_tier(
+        spark, f"{base}/src", schema, "value", "ts", "user_id",
+        tier="1m", store_path=f"{base}/store",
+        checkpoint_dir=f"{base}/ckpt", max_files_per_trigger=1,
+    )
+    h1 = T.finalize(
+        cascade_from_store(spark, f"{base}/store", "user_id", ("1h",))["1h"])
+    return h1.select(
+        "user_id", F.col("bucket_ts").cast("timestamp").alias("bucket_ts"),
+        F.col("first_x").alias("open"), F.col("max_x").alias("high"),
+        F.col("min_x").alias("low"), F.col("last_x").alias("close"),
+        F.col("n").alias("n_obs"), _r6(F.col("mean_x")).alias("mean_x"),
+    )
+
+
 def q_tier_1h_nunique(spark, sf_dir):
     """Exact distinct event types per (user, hour) — cardinality
     telemetry; two-phase distinct aggregate (map-side dedup). The
@@ -1870,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1m_from_chunks": q_tier_1m_from_chunks,
         "stream_tier_1m": q_stream_tier_1m,
         "stream_tier_1h": q_stream_tier_1h,
+        "stream_tier_1h_ohlc": q_stream_tier_1h_ohlc,
         "sessionize_1h": q_sessionize_1h,
         "session_stats_1h": q_session_stats_1h,
         "corpus_top_ngrams": q_corpus_top_ngrams,
@@ -2669,6 +2700,8 @@ def oracle_sql() -> dict[str, str]:
     # recomputed cold from raw — the streaming gate's oracle IS the
     # batch gate's oracle, verbatim
     d["stream_tier_histogram"] = d["tier_1h_histogram"]
+    # streamed-store OHLC must equal the batch candle view from raw
+    d["stream_tier_1h_ohlc"] = d["tier_1h_ohlc"]
     return d
 
 
