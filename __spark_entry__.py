@@ -238,6 +238,40 @@ def q_stream_tier_1h_ohlc(spark, sf_dir):
     )
 
 
+def q_stream_tier_p90_hist(spark, sf_dir):
+    """Percentile off the STREAMED distribution tier: drain events into
+    the per-bin 1m histogram store, then extract p90 per (user, hour)
+    with tier_quantile_from_histogram — the full streamed
+    sketch-cascade-to-percentile pipeline under one driver hash. Oracle
+    = the batch histogram-p90 SQL from raw (identical estimator
+    algebra, so streamed == batch bit-for-bit)."""
+    import tempfile
+
+    from roll_spark.plans.tiers import tier_quantile_from_histogram
+    from roll_spark.streaming.rollup import (
+        TierStore, run_stream_histogram_to_tier,
+    )
+
+    base = tempfile.mkdtemp(prefix="roll_stream_p90_gate_")
+    ev = _events(spark, sf_dir)
+    ev.repartition(4).write.mode("overwrite").parquet(f"{base}/src")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ev.schema)
+    run_stream_histogram_to_tier(
+        spark, f"{base}/src", schema, "value", "ts", "user_id",
+        tier="1m", lo=0.0, hi=500.0, n_bins=20,
+        store_path=f"{base}/store", checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=1,
+    )
+    store = TierStore(spark, f"{base}/store", "user_id", "1m",
+                      extra_keys=("bin",), stat_cols=("cnt",))
+    q = tier_quantile_from_histogram(store.read(), "user_id", "1h", 0.9,
+                                     lo=0.0, hi=500.0, n_bins=20, out="p90")
+    return q.select(
+        "user_id", F.col("bucket_ts").cast("timestamp").alias("bucket_ts"),
+        _r6(F.col("p90")).alias("p90"),
+    )
+
+
 def q_tier_1h_nunique(spark, sf_dir):
     """Exact distinct event types per (user, hour) — cardinality
     telemetry; two-phase distinct aggregate (map-side dedup). The
@@ -1901,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tier_1m": q_stream_tier_1m,
         "stream_tier_1h": q_stream_tier_1h,
         "stream_tier_1h_ohlc": q_stream_tier_1h_ohlc,
+        "stream_tier_p90_hist": q_stream_tier_p90_hist,
         "sessionize_1h": q_sessionize_1h,
         "session_stats_1h": q_session_stats_1h,
         "corpus_top_ngrams": q_corpus_top_ngrams,
@@ -2702,6 +2737,9 @@ def oracle_sql() -> dict[str, str]:
     d["stream_tier_histogram"] = d["tier_1h_histogram"]
     # streamed-store OHLC must equal the batch candle view from raw
     d["stream_tier_1h_ohlc"] = d["tier_1h_ohlc"]
+    # percentile off the streamed histogram store == the batch
+    # histogram-p90 from raw (identical deterministic estimator)
+    d["stream_tier_p90_hist"] = d["tier_1h_p90_hist"]
     return d
 
 
